@@ -1,0 +1,249 @@
+"""Batched kaldi-compatible log-mel filterbank, pure JAX.
+
+TPU-native rewrite of the reference's TorchScript fbank
+(satools/satools/kaldifeature.py:462-595): framing, dither, DC removal,
+preemphasis, povey/hann/hamming windows, rfft power spectrum, kaldi mel banks
+with VTLN — all jittable over a ``[B, T]`` waveform batch with static shapes.
+Numerics are golden-tested against the reference (tests/test_fbank.py).
+
+Like Kaldi's compute-fbank-feats, the input is expected scaled to
+[-32768, 32768]; model code multiplies [-1, 1] audio by 32768 before calling.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPSILON = 1.19209290e-07  # kaldi uses std::numeric_limits<float>::epsilon for floors
+LOG_EPS = 1e-6  # reference uses 1e-6 as the log floor (kaldifeature.py:579)
+
+
+def _next_power_of_2(x: int) -> int:
+    return 1 if x == 0 else 2 ** (int(x - 1).bit_length())
+
+
+def num_frames(num_samples: int, window_shift: int = 160, window_size: int = 400,
+               snip_edges: bool = False) -> int:
+    """Kaldi frame count (kaldifeature.py:58-77)."""
+    if snip_edges:
+        return 0 if num_samples < window_size else 1 + (num_samples - window_size) // window_shift
+    return (num_samples + window_shift // 2) // window_shift
+
+
+@functools.lru_cache(maxsize=None)
+def _window_function(window_type: str, window_size: int, blackman_coeff: float) -> np.ndarray:
+    n = np.arange(window_size, dtype=np.float64)
+    if window_type == "hanning":
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * n / (window_size - 1))
+    elif window_type == "hamming":
+        w = 0.54 - 0.46 * np.cos(2 * np.pi * n / (window_size - 1))
+    elif window_type == "povey":
+        w = (0.5 - 0.5 * np.cos(2 * np.pi * n / (window_size - 1))) ** 0.85
+    elif window_type == "rectangular":
+        w = np.ones(window_size)
+    elif window_type == "blackman":
+        a = 2 * np.pi / (window_size - 1)
+        w = (blackman_coeff - 0.5 * np.cos(a * n) + (0.5 - blackman_coeff) * np.cos(2 * a * n))
+    else:
+        raise ValueError(f"invalid window type {window_type}")
+    return w.astype(np.float32)
+
+
+def _mel_scale(freq):
+    return 1127.0 * np.log(1.0 + freq / 700.0)
+
+
+def _inverse_mel_scale(mel):
+    return 700.0 * (np.exp(mel / 1127.0) - 1.0)
+
+
+def _vtln_warp_freq(vtln_low: float, vtln_high: float, low_freq: float, high_freq: float,
+                    warp: float, freq: np.ndarray) -> np.ndarray:
+    l = vtln_low * max(1.0, warp)
+    h = vtln_high * min(1.0, warp)
+    scale = 1.0 / warp
+    Fl, Fh = scale * l, scale * h
+    scale_left = (Fl - low_freq) / (l - low_freq)
+    scale_right = (high_freq - Fh) / (high_freq - h)
+    res = np.where(freq >= h, high_freq + scale_right * (freq - high_freq), freq)
+    res = np.where(freq < h, scale * freq, res)
+    res = np.where(freq < l, low_freq + scale_left * (freq - low_freq), res)
+    res = np.where((freq < low_freq) | (freq > high_freq), freq, res)
+    return res
+
+
+@functools.lru_cache(maxsize=None)
+def mel_banks(num_bins: int, window_length_padded: int, sample_freq: float,
+              low_freq: float = 20.0, high_freq: float = 0.0,
+              vtln_low: float = 100.0, vtln_high: float = -500.0,
+              vtln_warp: float = 1.0) -> np.ndarray:
+    """Kaldi triangular mel bank, shape [num_bins, n_fft//2 + 1] (last col zero).
+
+    Matches kaldifeature.py:386-457 (incl. VTLN warping).
+    """
+    nyquist = 0.5 * sample_freq
+    if high_freq <= 0.0:
+        high_freq += nyquist
+    if vtln_high < 0.0:
+        vtln_high += nyquist
+    num_fft_bins = window_length_padded // 2
+    fft_bin_width = sample_freq / window_length_padded
+    mel_low = _mel_scale(low_freq)
+    mel_high = _mel_scale(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+
+    b = np.arange(num_bins, dtype=np.float64)[:, None]
+    left_mel = mel_low + b * mel_delta
+    center_mel = mel_low + (b + 1.0) * mel_delta
+    right_mel = mel_low + (b + 2.0) * mel_delta
+    if vtln_warp != 1.0:
+        def warp_mel(mel):
+            return _mel_scale(
+                _vtln_warp_freq(vtln_low, vtln_high, low_freq, high_freq, vtln_warp,
+                                _inverse_mel_scale(mel)))
+        left_mel, center_mel, right_mel = warp_mel(left_mel), warp_mel(center_mel), warp_mel(right_mel)
+
+    mel = _mel_scale(fft_bin_width * np.arange(num_fft_bins, dtype=np.float64))[None, :]
+    up_slope = (mel - left_mel) / (center_mel - left_mel)
+    down_slope = (right_mel - mel) / (right_mel - center_mel)
+    if vtln_warp == 1.0:
+        bank = np.maximum(0.0, np.minimum(up_slope, down_slope))
+    else:
+        bank = np.zeros_like(up_slope)
+        up_idx = (mel > left_mel) & (mel <= center_mel)
+        down_idx = (mel > center_mel) & (mel < right_mel)
+        bank[up_idx] = up_slope[up_idx]
+        bank[down_idx] = down_slope[down_idx]
+    # pad one zero column so it matmuls against the full rfft output
+    bank = np.concatenate([bank, np.zeros((num_bins, 1))], axis=1)
+    return bank.astype(np.float32)
+
+
+def frame_signal(x: jnp.ndarray, window_size: int, window_shift: int,
+                 snip_edges: bool) -> jnp.ndarray:
+    """[B, T] -> [B, m, window_size] frames, kaldi edge handling.
+
+    For snip_edges=False the signal is padded left with the first
+    ``window_size//2 - window_shift//2`` samples reversed and right with the
+    whole reversed signal, then strided (kaldifeature.py:80-122).
+    """
+    B, T = x.shape
+    if snip_edges:
+        m = 1 + (T - window_size) // window_shift
+        padded = x
+        start0 = 0
+    else:
+        m = (T + window_shift // 2) // window_shift
+        pad = window_size // 2 - window_shift // 2
+        if pad > 0:
+            left = x[:, :pad][:, ::-1]
+            padded = jnp.concatenate([left, x, x[:, ::-1]], axis=1)
+            start0 = 0
+        else:
+            padded = jnp.concatenate([x[:, -pad:], x[:, ::-1]], axis=1)
+            start0 = 0
+    idx = (jnp.arange(m) * window_shift)[:, None] + jnp.arange(window_size)[None, :] + start0
+    return padded[:, idx]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_mel_bins", "frame_length_ms", "frame_shift_ms", "sample_frequency",
+        "snip_edges", "window_type", "use_energy", "htk_compat", "raw_energy",
+        "use_log_fbank", "use_power", "remove_dc_offset", "round_to_power_of_two",
+        "low_freq", "high_freq", "vtln_low", "vtln_high", "vtln_warp",
+        "preemphasis_coefficient", "dither", "energy_floor", "blackman_coeff",
+        "subtract_mean",
+    ),
+)
+def fbank(
+    waveform: jnp.ndarray,
+    num_mel_bins: int = 23,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+    sample_frequency: float = 16000.0,
+    snip_edges: bool = True,
+    window_type: str = "povey",
+    dither: float = 0.0,
+    energy_floor: float = 1.0,
+    raw_energy: bool = True,
+    remove_dc_offset: bool = True,
+    preemphasis_coefficient: float = 0.97,
+    round_to_power_of_two: bool = True,
+    low_freq: float = 20.0,
+    high_freq: float = 0.0,
+    vtln_low: float = 100.0,
+    vtln_high: float = -500.0,
+    vtln_warp: float = 1.0,
+    use_energy: bool = False,
+    htk_compat: bool = False,
+    use_log_fbank: bool = True,
+    use_power: bool = True,
+    blackman_coeff: float = 0.42,
+    subtract_mean: bool = False,
+    dither_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Kaldi compute-fbank-feats over a batch: [B, T] -> [B, m, num_mel_bins(+1)].
+
+    Input must be scaled like kaldi wavs ([-32768, 32768]).
+    """
+    if waveform.ndim == 1:
+        waveform = waveform[None, :]
+    x = waveform.astype(jnp.float32)
+    window_shift = int(sample_frequency * frame_shift_ms * 0.001)
+    window_size = int(sample_frequency * frame_length_ms * 0.001)
+    padded_window_size = _next_power_of_2(window_size) if round_to_power_of_two else window_size
+
+    frames = frame_signal(x, window_size, window_shift, snip_edges)  # [B, m, ws]
+
+    if dither != 0.0:
+        key = dither_key if dither_key is not None else jax.random.PRNGKey(0)
+        u = jnp.maximum(jax.random.uniform(key, frames.shape, dtype=frames.dtype), LOG_EPS)
+        rand_gauss = jnp.sqrt(-2.0 * jnp.log(u)) * jnp.cos(2 * math.pi * u)
+        frames = frames + rand_gauss * dither
+
+    if remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+
+    if use_energy and raw_energy:
+        log_energy = jnp.log(jnp.maximum(jnp.sum(frames**2, axis=-1), LOG_EPS))
+        log_energy = jnp.maximum(log_energy, math.log(energy_floor)) if energy_floor != 0.0 else log_energy
+
+    if preemphasis_coefficient != 0.0:
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - preemphasis_coefficient * prev
+
+    window = jnp.asarray(_window_function(window_type, window_size, blackman_coeff))
+    frames = frames * window
+
+    if padded_window_size != window_size:
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, padded_window_size - window_size)))
+
+    if use_energy and not raw_energy:
+        log_energy = jnp.log(jnp.maximum(jnp.sum(frames**2, axis=-1), LOG_EPS))
+        log_energy = jnp.maximum(log_energy, math.log(energy_floor)) if energy_floor != 0.0 else log_energy
+
+    spectrum = jnp.abs(jnp.fft.rfft(frames, axis=-1))
+    if use_power:
+        spectrum = spectrum**2
+
+    bank = jnp.asarray(mel_banks(num_mel_bins, padded_window_size, sample_frequency,
+                                 low_freq, high_freq, vtln_low, vtln_high, vtln_warp))
+    mel_energies = jnp.einsum("bmf,nf->bmn", spectrum, bank)
+    if use_log_fbank:
+        mel_energies = jnp.log(jnp.maximum(mel_energies, LOG_EPS))
+
+    if use_energy:
+        e = log_energy[..., None]
+        mel_energies = (jnp.concatenate([mel_energies, e], axis=-1) if htk_compat
+                        else jnp.concatenate([e, mel_energies], axis=-1))
+
+    if subtract_mean:
+        mel_energies = mel_energies - jnp.mean(mel_energies, axis=1, keepdims=True)
+    return mel_energies

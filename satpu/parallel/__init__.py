@@ -1,0 +1,10 @@
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    make_mesh,
+    pad_batch_to_devices,
+    replicate,
+    replicated,
+    shard_batch,
+)

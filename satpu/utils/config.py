@@ -1,0 +1,150 @@
+"""Config system: INI files with ``${:var}`` interpolation + dataclass opts.
+
+Mirrors the reference's three cooperating config layers
+(satools/script_utils.py:244-301 ``vartoml``, script_utils.py:441-494
+``ConfigParser`` dataclass mixin, and per-trainer dataclass opts with
+``load_from_args`` auto-argparse) — reimplemented from scratch.
+
+INI semantics:
+- a ``[var]`` section defines variables,
+- ``${:name}`` anywhere is replaced by the variable value, with the process
+  environment taking precedence over the ``[var]`` section (enables
+  ``vq=128 python train.py ...`` style overrides),
+- inline ``  # comment`` suffixes are stripped.
+"""
+from __future__ import annotations
+
+import argparse
+import configparser
+import dataclasses
+import json
+import os
+import re
+import sys
+from typing import Any, Dict, Type, TypeVar
+
+_RE_VAR = re.compile(r"[$][{][:]([a-zA-Z0-9_-]+)[}]")
+_RE_INLINE_COMMENT = re.compile(r"\s+#")
+
+
+def _strip_inline_comment(value: str) -> str:
+    m = _RE_INLINE_COMMENT.search(value)
+    return value[: m.start()].strip() if m else value
+
+
+def load_ini(path: str) -> Dict[str, Dict[str, str]]:
+    """Parse an INI config with ``${:var}`` interpolation and env override."""
+    cp = configparser.ConfigParser(interpolation=None)
+    cp.optionxform = str  # keep case
+    with open(path) as f:
+        cp.read_string(f.read())
+    raw = {sec: dict(cp.items(sec)) for sec in cp.sections()}
+    variables = dict(raw.get("var", {}))
+
+    def substitute(value: str) -> str:
+        def repl(m: re.Match) -> str:
+            name = m.group(1)
+            if name in os.environ:
+                return os.environ[name]
+            if name not in variables:
+                raise KeyError(
+                    f"config variable '{name}' not defined in [var] section nor environment"
+                )
+            return variables[name]
+
+        return _RE_VAR.sub(repl, value)
+
+    out: Dict[str, Dict[str, str]] = {}
+    for sec, kv in raw.items():
+        out[sec] = {}
+        for k, v in kv.items():
+            v = _strip_inline_comment(v)
+            out[sec][k] = substitute(v) if _RE_VAR.search(v) else v
+    return out
+
+
+def str2bool(v: Any) -> bool:
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("yes", "true", "t", "y", "1"):
+        return True
+    if s in ("no", "false", "f", "n", "0", ""):
+        return False
+    raise ValueError(f"cannot interpret {v!r} as bool")
+
+
+T = TypeVar("T", bound="Opts")
+
+
+@dataclasses.dataclass
+class Opts:
+    """Base for trainer option dataclasses.
+
+    Provides ``load_from_config`` (type-coerced assignment from a string dict)
+    and ``load_from_args`` (auto-generated argparse: field ``a_b`` becomes
+    ``--a-b``), matching the reference trainer convention.
+    """
+
+    def load_from_config(self: T, cfg: Dict[str, Any]) -> T:
+        hints = {}
+        for klass in reversed(type(self).__mro__):
+            hints.update(getattr(klass, "__annotations__", {}))
+        for key, value in cfg.items():
+            if not hasattr(self, key):
+                continue
+            ftype = hints.get(key, str)
+            if ftype is bool or ftype == "bool":
+                setattr(self, key, str2bool(value))
+            elif ftype in (dict, "dict") or (isinstance(value, str) and ftype in (Any, "Any")):
+                setattr(self, key, value)
+            else:
+                caster = ftype if callable(ftype) else str
+                setattr(self, key, caster(value))
+        return self
+
+    def load_from_args(self: T, argv=None) -> T:
+        parser = argparse.ArgumentParser(description=type(self).__name__)
+        for field in dataclasses.fields(self):
+            name = "--" + field.name.replace("_", "-")
+            default = getattr(self, field.name)
+            if field.type is bool or isinstance(default, bool):
+                parser.add_argument(name, type=str2bool, default=default)
+            else:
+                ftype = field.type if callable(field.type) else type(default)
+                if ftype in (dict, list):
+                    parser.add_argument(name, type=json.loads, default=default)
+                else:
+                    parser.add_argument(name, type=ftype, default=default)
+        args, _ = parser.parse_known_args(argv if argv is not None else sys.argv[1:])
+        for field in dataclasses.fields(self):
+            setattr(self, field.name, getattr(args, field.name))
+        return self
+
+    def get_forcmd(self, key: str):
+        if getattr(self, key) == "":
+            return []
+        return [f"--{key.replace('_', '-')}", str(getattr(self, key)).replace("\n", "")]
+
+    def asdict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def read_single_param_file(src: str, typename: Type = int):
+    with open(src) as f:
+        return typename(f.readline().strip())
+
+
+def write_single_param_file(value: Any, filename: str) -> None:
+    with open(filename, "w") as f:
+        f.write(f"{value}")
+
+
+def split_dict(d: Dict, n: int):
+    """Split a dict into n contiguous shards (reference script_utils.py:500-507)."""
+    keys = list(d.keys())
+    k, m = divmod(len(keys), n)
+    return [
+        {key: d[key] for key in keys[i * k + min(i, m) : (i + 1) * k + min(i + 1, m)]}
+        for i in range(n)
+    ]

@@ -1,0 +1,54 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding logic is validated on
+XLA's host platform with 8 virtual devices, which exercises the same mesh /
+NamedSharding / collective code paths.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import importlib
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def reference_module(name, path=None):
+    """Load a single module file from the read-only torch reference for golden
+    tests, WITHOUT importing the satools package __init__ (which drags in the
+    TorchScript YAAPT that does not compile under this torch build).
+
+    Stubs out torchaudio (only used in __main__ blocks of the files we load).
+    """
+    import importlib.util
+    import types
+
+    if name in sys.modules:
+        return sys.modules[name]
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        ta.functional = types.ModuleType("torchaudio.functional")
+        ta.load = None
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.functional"] = ta.functional
+    if path is None:
+        rel = name.replace("ref_", "").replace(".", "/") + ".py"
+        path = os.path.join("/root/reference/satools/satools", rel)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod

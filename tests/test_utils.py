@@ -1,0 +1,116 @@
+"""Tests for the M0 substrate: config, ark/scp IO, wav IO."""
+import os
+
+import numpy as np
+
+from satpu.utils import config as cfg
+from satpu.utils import checkpoint as ckpt
+from satpu.utils import kaldi_data, scp_io
+
+
+def test_ini_interpolation(tmp_path, monkeypatch):
+    p = tmp_path / "conf.ini"
+    p.write_text(
+        "[var]\n"
+        "basedir = /myproject\n"
+        "vq = 48\n"
+        "[exp]\n"
+        "dir = ${:basedir}/exp  # inline comment\n"
+        "codebook = ${:vq}\n"
+        "plain = hello\n"
+    )
+    out = cfg.load_ini(str(p))
+    assert out["exp"]["dir"] == "/myproject/exp"
+    assert out["exp"]["codebook"] == "48"
+    assert out["exp"]["plain"] == "hello"
+    monkeypatch.setenv("vq", "128")
+    out = cfg.load_ini(str(p))
+    assert out["exp"]["codebook"] == "128"
+
+
+def test_opts_dataclass():
+    import dataclasses
+
+    @dataclasses.dataclass
+    class MyOpts(cfg.Opts):
+        lr: float = 0.001
+        num_workers: int = 4
+        use_thing: bool = False
+        name: str = "x"
+
+    o = MyOpts().load_from_config({"lr": "0.01", "use_thing": "true", "name": "y"})
+    assert o.lr == 0.01 and o.use_thing is True and o.name == "y"
+    o2 = MyOpts().load_from_args(["--lr", "0.5", "--use-thing", "yes"])
+    assert o2.lr == 0.5 and o2.use_thing is True and o2.num_workers == 4
+
+
+def test_ark_scp_roundtrip(tmp_path):
+    ark = str(tmp_path / "feats.ark")
+    scp = str(tmp_path / "feats.scp")
+    mats = {
+        "utt1": np.random.randn(17, 80).astype(np.float32),
+        "utt2": np.random.randn(5,).astype(np.float32),
+        "utt3": np.random.randn(2, 3, 4).astype(np.float32),  # NPY record
+        "utt4": np.random.randn(4, 4).astype(np.float64),
+    }
+    with scp_io.FileWriter(ark, scp) as w:
+        for k, v in mats.items():
+            w[k] = v
+    r = scp_io.FileReader(scp)
+    assert set(r.keys()) == set(mats.keys())
+    for k, v in mats.items():
+        np.testing.assert_array_almost_equal(r[k], v, decimal=6)
+    # ark streaming
+    seen = dict(scp_io.read_ark(ark))
+    assert set(seen) == set(mats)
+    # append mode
+    with scp_io.FileWriter(ark, scp, append=True) as w:
+        w["utt5"] = np.ones((2, 2), np.float32)
+    r2 = scp_io.FileReader(scp)
+    assert "utt5" in r2 and "utt1" in r2
+
+
+def test_wav_roundtrip(tmp_path):
+    x = (np.sin(np.linspace(0, 100, 8000)) * 0.5).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    kaldi_data.write_wav(p, x, 16000)
+    y, rate = kaldi_data.load_wav_from_scp(p)
+    assert rate == 16000 and y.shape == (1, 8000)
+    np.testing.assert_allclose(y[0], x, atol=1.0 / 32768)
+    # piped command form
+    y2, _ = kaldi_data.load_wav_from_scp(f"cat {p} |")
+    np.testing.assert_array_equal(y, y2)
+    # offset reads
+    y3, _ = kaldi_data.load_wav_from_scp(p, frame_offset=100, num_frames=50)
+    np.testing.assert_array_equal(y3, y[:, 100:150])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"params": {"w": np.random.randn(3, 3).astype(np.float32), "b": np.zeros(3)}}
+    meta = {"model_id": "test_model", "build_params": {"dim": 3}, "step": 7}
+    p = str(tmp_path / "m.ckpt")
+    ckpt.save_checkpoint(p, meta, state)
+    meta2, state2 = ckpt.load_checkpoint(p)
+    assert meta2 == meta
+    np.testing.assert_array_equal(state2["params"]["w"], state["params"]["w"])
+
+
+def test_latest_checkpoint_and_gc(tmp_path):
+    d = str(tmp_path)
+    for i in [1, 5, 10, 20, 30]:
+        open(os.path.join(d, f"g_{i}.ckpt"), "w").close()
+    assert ckpt.latest_checkpoint(d, "g_") == os.path.join(d, "g_30.ckpt")
+    ckpt.checkpoint_gc(d, "g_", keep_last=2, keep_every=10)
+    left = sorted(os.listdir(d))
+    assert left == ["g_10.ckpt", "g_20.ckpt", "g_30.ckpt"]
+
+
+def test_split_dict():
+    d = {f"u{i}": i for i in range(10)}
+    shards = cfg.split_dict(d, 3)
+    assert len(shards) == 3
+    assert sum(len(s) for s in shards) == 10
+    merged = {}
+    for s in shards:
+        merged.update(s)
+    assert merged == d
