@@ -1,0 +1,164 @@
+"""TDNN-F ASR-BN acoustic models (fbank front), flax.linen.
+
+Rebuild of the reference tuning nets
+(egs/asr/librispeech/local/chain/tuning/tdnnf.py and tdnnf_vq.py / tdnnf_dp.py):
+fbank80 -> UttCMVN -> replicate-pad -> TDNNF x12 (subsample /2 then /1.5,
+net /3) -> prefinal chain+xent heads; bottleneck ("BN") extraction at the
+stage-1 prefinal bottleneck (dim 256), optionally vector-quantized
+(tdnnf_vq.py:79-108) or Laplace-noised for DP (tdnnf_dp.py:92-94).
+
+The audio -> features step is jitted with the network so XLA fuses the whole
+forward; all shapes are static given the input length.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.fbank import fbank as kaldi_fbank
+from ..ops.cmvn import utt_cmvn
+from .tdnnf import (
+    NaturalAffineTransform,
+    TDNNFBatchNorm,
+    VQBottleneck,
+    get_padding,
+    pad_input_replicate,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TDNNFNetConfig:
+    """Architecture hyperparameters (tuning/tdnnf.py:20-33 defaults)."""
+
+    output_dim: int = 3280
+    hidden_dim: int = 1024
+    bottleneck_dim: int = 128
+    prefinal_bottleneck_dim: int = 256
+    kernel_size_list: Tuple[int, ...] = (3, 3, 3, 1, 3, 3, 3, 3, 3, 3, 3, 3)
+    subsampling_factor_list: Tuple[float, ...] = (1, 1, 1, 2, 1, 1, 1, 1, 1, 1, 1, 1)
+    kernel_size_list_after: Tuple[int, ...] = (1, 3, 3, 3)
+    subsampling_factor_list_after: Tuple[float, ...] = (1.5, 1, 1, 1)
+    p_dropout: float = 0.1
+    num_mel_bins: int = 80
+    # bottleneck transform at the BN layer: "none" | "vq" | "dp"
+    bottleneck: str = "none"
+    codebook_size: int = 0  # for vq
+    epsilon: float = 0.0  # laplace scale for dp (tdnnf_dp.py: noise b = 1/epsilon)
+
+
+class DpLaplaceBottleneck(nn.Module):
+    """Laplace-noise bottleneck for differential privacy (tdnnf_dp.py:92-94)."""
+
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.is_initializing():
+            return x
+        u = jax.random.uniform(self.make_rng("noise"), x.shape, minval=-0.5 + 1e-7,
+                               maxval=0.5)
+        b = 1.0 / self.epsilon
+        return x - b * jnp.sign(u) * jnp.log1p(-2.0 * jnp.abs(u))
+
+
+class TDNNFNet(nn.Module):
+    """The 13-layer TDNN-F chain network with BN extraction."""
+
+    cfg: TDNNFNetConfig
+
+    def setup(self):
+        c = self.cfg
+        ks, ss = list(c.kernel_size_list), list(c.subsampling_factor_list)
+        self.padding = get_padding(ks, ss) // 2
+        self.padding_after = get_padding(
+            list(c.kernel_size_list_after), list(c.subsampling_factor_list_after)) // 2
+
+        self.tdnn1 = TDNNFBatchNorm(
+            c.num_mel_bins, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
+            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0,
+            name="tdnn1")
+
+        layers = []
+        for i in range(1, len(ks) - 1):
+            layers.append(TDNNFBatchNorm(
+                c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
+                context_len=ks[i], subsampling_factor=ss[i],
+                orthonormal_constraint=-1.0, name=f"tdnnf{i}"))
+        # BN layer (stage-1 prefinal): optional VQ / DP bottleneck
+        if c.bottleneck == "vq":
+            bfunc = VQBottleneck(c.codebook_size, c.prefinal_bottleneck_dim, name="vq_bottleneck")
+        elif c.bottleneck == "dp":
+            bfunc = DpLaplaceBottleneck(c.epsilon, name="dp_bottleneck")
+        else:
+            bfunc = None
+        layers.append(TDNNFBatchNorm(
+            c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
+            context_len=ks[-1], subsampling_factor=ss[-1], orthonormal_constraint=-1.0,
+            bypass_scale=0.0, bottleneck_func=bfunc, name="tdnnf_bn"))
+        self.tdnnfs = layers
+
+        after = []
+        ksa, ssa = list(c.kernel_size_list_after), list(c.subsampling_factor_list_after)
+        for i in range(len(ksa)):
+            after.append(TDNNFBatchNorm(
+                c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
+                context_len=ksa[i], subsampling_factor=ssa[i],
+                orthonormal_constraint=-1.0, name=f"tdnnf_after{i}"))
+        self.tdnnfs_after = after
+
+        self.prefinal_chain = TDNNFBatchNorm(
+            c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
+            context_len=1, orthonormal_constraint=-1.0, name="prefinal_chain")
+        self.prefinal_xent = TDNNFBatchNorm(
+            c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
+            context_len=1, orthonormal_constraint=-1.0, name="prefinal_xent")
+        self.chain_output = NaturalAffineTransform(c.output_dim, name="chain_output")
+        self.xent_output = NaturalAffineTransform(c.output_dim, name="xent_output")
+
+    def features(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """[B, T] audio in [-1, 1] -> padded CMVN fbank [B, T', 80]."""
+        x = wav * 32768.0
+        x = kaldi_fbank(x, num_mel_bins=self.cfg.num_mel_bins, snip_edges=False)
+        x = utt_cmvn(x)
+        return pad_input_replicate(x, self.padding)
+
+    def _dropout(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if train and self.cfg.p_dropout > 0:
+            return nn.Dropout(self.cfg.p_dropout, deterministic=False)(x)
+        return x
+
+    def __call__(self, wav: jnp.ndarray, train: bool = False):
+        """Returns (chain_out [B, T_sub, pdf], xent log-softmax)."""
+        x = self.features(wav)
+        x = self.tdnn1(x, train=train)
+        x = self._dropout(x, train)
+        for layer in self.tdnnfs:
+            x = layer(x, train=train)
+            x = self._dropout(x, train)
+        x = pad_input_replicate(x, self.padding_after)
+        for layer in self.tdnnfs_after:
+            x = layer(x, train=train)
+            x = self._dropout(x, train)
+        chain_prefinal = self.prefinal_chain(x, train=train)
+        xent_prefinal = self.prefinal_xent(x, train=train)
+        chain_out = self.chain_output(chain_prefinal)
+        xent_out = self.xent_output(xent_prefinal)
+        return chain_out, jax.nn.log_softmax(xent_out, axis=2)
+
+    def extract_bn(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """[B, T] audio -> [B, T_bn, 256] linguistic bottleneck
+        (tuning/tdnnf.py:156-177)."""
+        x = self.features(wav)
+        x = self.tdnn1(x, train=train)
+        for layer in self.tdnnfs[:-1]:
+            x = layer(x, train=train)
+        return self.tdnnfs[-1](x, return_bottleneck=True, train=train)
+
+
+def build_tdnnf_net(**kwargs) -> Tuple[TDNNFNet, TDNNFNetConfig]:
+    cfg = TDNNFNetConfig(**kwargs)
+    return TDNNFNet(cfg), cfg

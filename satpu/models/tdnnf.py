@@ -64,13 +64,12 @@ def splice_frames(x: jnp.ndarray, context_len: int, subsampling_factor: float) -
     step = int(D * subsampling_factor)
     win = D * context_len
     nwin = (T * D - win) // step + 1
-    flat = x.reshape(B, T * D)
     if step % D == 0:
-        # pure frame-aligned splicing: express as strided slices + concat
+        # frame-aligned splicing: window j = frames [j*s, j*s + context_len)
         s = step // D
-        cols = [flat[:, c * D : c * D + (nwin - 1) * step + D : step] for c in range(context_len)]
-        stacked = jnp.stack([c.reshape(B, nwin, D) for c in cols], axis=2)
-        return stacked.reshape(B, nwin, win)
+        cols = [x[:, c : c + (nwin - 1) * s + 1 : s, :] for c in range(context_len)]
+        return jnp.concatenate(cols, axis=-1)
+    flat = x.reshape(B, T * D)
     idx = (np.arange(nwin) * step)[:, None] + np.arange(win)[None, :]
     return flat[:, jnp.asarray(idx)]
 

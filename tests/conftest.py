@@ -6,11 +6,22 @@ NamedSharding / collective code paths.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu, so route test computation to
+# the (always present) CPU backend explicitly: exact fp32 matmuls for golden
+# comparisons and an 8-virtual-device mesh for sharding tests.
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def cpu_devices():
+    return jax.devices("cpu")
 
 import importlib
 import sys
