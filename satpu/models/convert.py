@@ -91,6 +91,53 @@ def convert_asrbn(sd: Dict[str, Any], num_stage1_layers: int = 12,
     return out
 
 
+def _collapse_path(torch_key: str):
+    """torch 'resblocks.3.convs1.2.weight_v' -> ('resblocks_3','convs1_2','weight_v')."""
+    parts = torch_key.split(".")
+    path = []
+    i = 0
+    while i < len(parts):
+        if i + 1 < len(parts) and parts[i + 1].isdigit():
+            path.append(f"{parts[i]}_{parts[i + 1]}")
+            i += 2
+        else:
+            path.append(parts[i])
+            i += 1
+    return tuple(path)
+
+
+def convert_hifigan(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference CoreHifiGan / discriminator state_dict -> satpu variables.
+
+    Parameters keep their torch layouts (satpu stores weight-norm (g, v) and
+    spectral-norm weight_orig in torch shape), so this is a pure name remap:
+    torch Sequential/ModuleList indices become ``name_i`` flax scopes and the
+    spectral-norm u/v power-iteration buffers move to the 'spectral'
+    collection.
+    """
+    params: Dict = {}
+    spectral: Dict = {}
+    sn_prefixes = {k[: -len(".weight_orig")] for k in sd if k.endswith(".weight_orig")}
+    for k, t in sd.items():
+        path = _collapse_path(k)
+        arr = _np(t).astype(np.float32)
+        prefix = k.rsplit(".", 1)[0]
+        leaf = path[-1]
+        if prefix in sn_prefixes and leaf in ("weight_u", "weight_v"):
+            _set(spectral, path[:-1] + (leaf[-1],), arr)  # weight_u -> u, weight_v -> v
+        else:
+            # satpu scale discriminators lift torch Conv1d to 2D (W axis = 1):
+            # expand [out, in, k] -> [out, in, k, 1] and g [out,1,1] -> [out,1,1,1]
+            if (path and path[0].startswith("discriminators_")
+                    and leaf in ("weight_v", "weight_g", "weight_orig") and arr.ndim == 3):
+                arr = arr[..., None]
+            _set(params, path, arr)
+    out = {"params": params}
+    if spectral:
+        out["spectral"] = spectral
+    return out
+
+
 def conv1d_weight_to_nwc(w: np.ndarray) -> np.ndarray:
     """torch Conv1d [out, in, k] -> flax [k, in, out]."""
     return np.transpose(w, (2, 1, 0))

@@ -1,0 +1,494 @@
+"""HiFi-GAN generator + discriminators in flax.linen.
+
+TPU-native rebuild of the reference GAN stack (satools/satools/hifigan/archi.py
+CoreHifiGan, hifigan/nn.py ResBlock1/2 + MultiPeriodDiscriminator +
+MultiScaleDiscriminator + LSGAN losses).
+
+Design notes:
+- weight norm is an explicit (g, v) reparameterization; parameters are stored
+  in the torch layout (conv [out, in, k]; conv-transpose [in, out, k]) so
+  reference checkpoints convert 1:1, and transposed to XLA's NWC layout inside
+  the call (a free relayout at compile time).
+- torch ConvTranspose1d(stride u, padding p) is expressed as
+  conv_general_dilated with lhs_dilation=u, padding k-1-p and a flipped
+  kernel — identical arithmetic, MXU-friendly.
+- spectral norm (first MSD discriminator) keeps the torch u-vector power
+  iteration as a mutable 'spectral' collection.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+def _weight_norm(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """w = g * v / ||v||, norm over all dims except 0 (torch weight_norm dim=0)."""
+    norm = jnp.sqrt(jnp.sum(v**2, axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / norm
+
+
+class WNConv1d(nn.Module):
+    """Weight-normed Conv1d, torch param layout [out, in, k]; input [B, T, C]."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shape = (self.out_channels, self.in_channels // self.groups, self.kernel_size)
+        fan_in = shape[1] * shape[2]
+        bound = 1.0 / np.sqrt(fan_in)
+        v = self.param("weight_v", nn.initializers.normal(0.01), shape)
+        g = self.param("weight_g",
+                       lambda key, s: jnp.sqrt(jnp.sum(
+                           nn.initializers.normal(0.01)(key, shape) ** 2,
+                           axis=(1, 2), keepdims=True)), (self.out_channels, 1, 1))
+        w = _weight_norm(v, g)  # [out, in/g, k]
+        kernel = jnp.transpose(w, (2, 1, 0))  # -> [k, in/g, out]
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.uniform(scale=2 * bound), (self.out_channels,))
+            y = y + b
+        return y
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normed ConvTranspose1d, torch layout [in, out, k]; input [B, T, C]."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shape = (self.in_channels, self.out_channels, self.kernel_size)
+        v = self.param("weight_v", nn.initializers.normal(0.01), shape)
+        g = self.param("weight_g",
+                       lambda key, s: jnp.sqrt(jnp.sum(
+                           nn.initializers.normal(0.01)(key, shape) ** 2,
+                           axis=(1, 2), keepdims=True)), (self.in_channels, 1, 1))
+        w = _weight_norm(v, g)  # [in, out, k]
+        k = self.kernel_size
+        # flip kernel and express transpose-conv as lhs-dilated conv
+        kernel = jnp.transpose(w[:, :, ::-1], (2, 0, 1))  # [k, in, out]
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,), padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            y = y + b
+        return y
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block, 3 dilated + 3 plain convs (hifigan/nn.py:93-187)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, int, int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = WNConv1d(self.channels, self.channels, self.kernel_size,
+                          dilation=d, padding=_get_padding(self.kernel_size, d),
+                          name=f"convs1_{i}")(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = WNConv1d(self.channels, self.channels, self.kernel_size,
+                          dilation=1, padding=_get_padding(self.kernel_size, 1),
+                          name=f"convs2_{i}")(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, int] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = WNConv1d(self.channels, self.channels, self.kernel_size,
+                          dilation=d, padding=_get_padding(self.kernel_size, d),
+                          name=f"convs_{i}")(xt)
+            x = xt + x
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class CoreHifiGanConfig:
+    input_dim: int = 256 + 1
+    upsample_rates: Tuple[int, ...] = (5, 4, 4, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (11, 8, 8, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    istft_out: bool = False
+    istft_n_fft: int = 16
+
+
+class CoreHifiGan(nn.Module):
+    """The HiFi-GAN generator core (hifigan/archi.py:21-115).
+
+    Input [B, T, C] (features-last; the reference uses [B, C, T]) ->
+    waveform [B, T*prod(upsample_rates), 1] (or (spec, phase) for iSTFTNet).
+    """
+
+    cfg: CoreHifiGanConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        c = self.cfg
+        num_kernels = len(c.resblock_kernel_sizes)
+        x = WNConv1d(c.input_dim, c.upsample_initial_channel, 7, padding=3,
+                     name="conv_pre")(x)
+        for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            ch_in = c.upsample_initial_channel // (2**i)
+            ch = c.upsample_initial_channel // (2 ** (i + 1))
+            x = WNConvTranspose1d(ch_in, ch, k, u, padding=(k - u) // 2,
+                                  name=f"ups_{i}")(x)
+            xs = jnp.zeros_like(x)
+            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
+                                             c.resblock_dilation_sizes)):
+                xs = xs + ResBlock1(ch, rk, tuple(rd),
+                                    name=f"resblocks_{i * num_kernels + j}")(x)
+            x = xs / num_kernels
+        x = nn.leaky_relu(x)  # default slope 0.01 (archi.py:87 F.leaky_relu)
+        # reflection pad (1, 0) on time (archi.py:75)
+        x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
+        out_ch = (c.istft_n_fft + 2) if c.istft_out else 1
+        ch = c.upsample_initial_channel // (2 ** len(c.upsample_rates))
+        x = WNConv1d(ch, out_ch, 7, padding=3, name="conv_post")(x)
+        if c.istft_out:
+            n = c.istft_n_fft // 2 + 1
+            spec = jnp.exp(x[:, :, :n])
+            phase = jnp.sin(x[:, :, n:])
+            return spec, phase
+        return jnp.tanh(x)
+
+
+# ---------------------------------------------------------------------------
+# Discriminators
+# ---------------------------------------------------------------------------
+
+
+class SNConv(nn.Module):
+    """Spectral-normalized conv (1d as 2d with W-axis=time), torch layout.
+
+    Power-iteration u vector lives in the mutable 'spectral' collection;
+    pass ``update_sn=True`` during discriminator training steps.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    padding: Tuple[int, int]
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, update_sn: bool = False) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        shape = (self.out_channels, self.in_channels // self.groups, kh, kw)
+        w = self.param("weight_orig", nn.initializers.normal(0.01), shape)
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        w_mat_shape = (self.out_channels, int(np.prod(shape[1:])))
+        u_var = self.variable("spectral", "u",
+                              lambda: jax.random.normal(jax.random.PRNGKey(2),
+                                                        (w_mat_shape[0],)))
+        v_var = self.variable("spectral", "v",
+                              lambda: jax.random.normal(jax.random.PRNGKey(3),
+                                                        (w_mat_shape[1],)))
+        w_mat = w.reshape(w_mat_shape)
+        u, v = u_var.value, v_var.value
+        if update_sn and not self.is_initializing():
+            # one torch-style power iteration: v <- norm(W^T u); u <- norm(W v)
+            v = w_mat.T @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u = w_mat @ v
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+            u_var.value = u
+            v_var.value = v
+        sigma = u @ w_mat @ v
+        w_sn = w / sigma
+        kernel = jnp.transpose(w_sn, (2, 3, 1, 0))  # [kh, kw, in/g, out]
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups)
+        return y + b
+
+
+class WNConv2d(nn.Module):
+    """Weight-normed Conv2d, torch layout [out, in, kh, kw]; input NHWC."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    padding: Tuple[int, int]
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        shape = (self.out_channels, self.in_channels // self.groups, kh, kw)
+        v = self.param("weight_v", nn.initializers.normal(0.01), shape)
+        g = self.param("weight_g",
+                       lambda key, s: jnp.sqrt(jnp.sum(
+                           nn.initializers.normal(0.01)(key, shape) ** 2,
+                           axis=(1, 2, 3), keepdims=True)),
+                       (self.out_channels, 1, 1, 1))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        w = _weight_norm(v, g)
+        kernel = jnp.transpose(w, (2, 3, 1, 0))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups)
+        return y + b
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (hifigan/nn.py:235-302). Input [B, T, 1]."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        fmap = []
+        b, t, c = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            # torch F.pad mode="reflect" on [B, C, T]
+            x = jnp.concatenate([x, x[:, t - n_pad - 1 : t - 1, :][:, ::-1, :]], axis=1)
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, c)  # NHWC, H=time
+        channels = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+        for i, (cin, cout) in enumerate(channels):
+            x = WNConv2d(cin, cout, (self.kernel_size, 1), (self.stride, 1),
+                         (_get_padding(5, 1), 0), name=f"convs_{i}")(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = WNConv2d(1024, 1024, (self.kernel_size, 1), (1, 1), (2, 0), name="convs_4")(x)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator (hifigan/nn.py:334-361). Input [B, T, 1]."""
+
+    use_spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, update_sn: bool = False):
+        fmap = []
+        spec = [
+            (1, 128, 15, 1, 7, 1),
+            (128, 128, 41, 2, 20, 4),
+            (128, 256, 41, 2, 20, 16),
+            (256, 512, 41, 4, 20, 16),
+            (512, 1024, 41, 4, 20, 16),
+            (1024, 1024, 41, 1, 20, 16),
+            (1024, 1024, 5, 1, 2, 1),
+        ]
+        b = x.shape[0]
+        x = x[:, :, None, :]  # [B, T, 1, C] as NHWC with H=time
+        for i, (cin, cout, k, s, p, g) in enumerate(spec):
+            if self.use_spectral_norm:
+                x = SNConv(cin, cout, (k, 1), (s, 1), (p, 0), groups=g,
+                           name=f"convs_{i}")(x, update_sn=update_sn)
+            else:
+                x = WNConv2d(cin, cout, (k, 1), (s, 1), (p, 0), groups=g,
+                             name=f"convs_{i}")(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        if self.use_spectral_norm:
+            x = SNConv(1024, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x, update_sn=update_sn)
+        else:
+            x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+def _avg_pool1d(x: jnp.ndarray, kernel: int = 4, stride: int = 2, padding: int = 2) -> jnp.ndarray:
+    """torch AvgPool1d(4, 2, padding=2) with count_include_pad=True; [B, T, C]."""
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    out = jax.lax.reduce_window(xp, 0.0, jax.lax.add, (1, kernel, 1), (1, stride, 1), "VALID")
+    return out / kernel
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """Periods 2,3,5,7,11 (hifigan/nn.py:305-331)."""
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i, p in enumerate((2, 3, 5, 7, 11)):
+            d = DiscriminatorP(p, name=f"discriminators_{i}")
+            y_d_r, fmap_r = d(y)
+            y_d_g, fmap_g = d(y_hat)
+            y_d_rs.append(y_d_r)
+            fmap_rs.append(fmap_r)
+            y_d_gs.append(y_d_g)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """3 scales with avg-pool downsampling (hifigan/nn.py:364-394)."""
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, update_sn: bool = False):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = _avg_pool1d(y)
+                y_hat = _avg_pool1d(y_hat)
+            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"discriminators_{i}")
+            y_d_r, fmap_r = d(y, update_sn=update_sn) if i == 0 else d(y)
+            y_d_g, fmap_g = d(y_hat) if i == 0 else d(y_hat)
+            y_d_rs.append(y_d_r)
+            fmap_rs.append(fmap_r)
+            y_d_gs.append(y_d_g)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+# ---------------------------------------------------------------------------
+# Losses (hifigan/nn.py:397-428)
+# ---------------------------------------------------------------------------
+
+
+def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss = loss + jnp.mean(jnp.abs(rl - gl))
+    return loss * 2.0
+
+
+def discriminator_loss(disc_real_outputs, disc_generated_outputs):
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        r_loss = jnp.mean((1.0 - dr) ** 2)
+        g_loss = jnp.mean(dg**2)
+        loss = loss + r_loss + g_loss
+        r_losses.append(r_loss)
+        g_losses.append(g_loss)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outputs):
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outputs:
+        l = jnp.mean((1.0 - dg) ** 2)
+        gen_losses.append(l)
+        loss = loss + l
+    return loss, gen_losses
+
+
+# ---------------------------------------------------------------------------
+# F0 transformations (hifigan/nn.py:28-90)
+# ---------------------------------------------------------------------------
+
+
+def quantize_f0(x: jnp.ndarray, num_bins: int = 16) -> jnp.ndarray:
+    uv = x == 0
+    q = jnp.round(x * num_bins) / num_bins
+    return jnp.where(uv, 0.0, q)
+
+
+def awgn_f0(pitch: jnp.ndarray, key: jax.Array, target_noise_db: float = 10.0) -> jnp.ndarray:
+    target_noise_watts = 10.0 ** (target_noise_db / 10.0)
+    noise = jax.random.normal(key, pitch.shape) * jnp.sqrt(target_noise_watts)
+    uv = pitch == 0
+    return jnp.where(uv, 0.0, pitch + noise)
+
+
+def moving_average_f0(f0: jnp.ndarray, n: int = 32) -> jnp.ndarray:
+    pad = n // 2
+    fp = jnp.pad(f0, [(0, 0)] * (f0.ndim - 1) + [(pad, pad)])
+    kernel = jnp.ones((n,)) / n
+    out = jnp.apply_along_axis(
+        lambda v: jnp.convolve(v, kernel, mode="valid"), -1, fp)
+    return out[..., : f0.shape[-1]]
+
+
+def mean_reverv_f0(f0: jnp.ndarray, alpha: float = 0.5, n: int = 32) -> jnp.ndarray:
+    return (1.0 - alpha) * f0 + alpha * moving_average_f0(f0, n)
+
+
+def parse_f0_transformation_spec(spec: str):
+    """Parse strings like "quant_16_awgn_2" / "mean-reverv_0.5:32"
+    (hifigan/nn.py:29-47,79-90) into a list of (kind, value) steps."""
+    steps = []
+    if not spec:
+        return steps
+    if "quant" in spec:
+        num = spec[spec.index("quant"):].split("_")[1]
+        steps.append(("quant", int("".join(ch for ch in num if ch.isdigit()))))
+    if "awgn" in spec:
+        num = spec[spec.index("awgn"):].split("_")[1]
+        steps.append(("awgn", int("".join(ch for ch in num if ch.isdigit()))))
+    if "mean-reverv" in spec:
+        rest = spec[spec.index("mean-reverv"):].split("_")[1]
+        alpha = float("".join(ch for ch in rest.split(":")[0] if ch.isdigit() or ch == "."))
+        n = int("".join(ch for ch in rest.split(":")[1] if ch.isdigit()))
+        steps.append(("mean-reverv", (alpha, n)))
+    return steps
+
+
+def apply_f0_transformation(f0: jnp.ndarray, spec: str, key: Optional[jax.Array] = None) -> jnp.ndarray:
+    for kind, value in parse_f0_transformation_spec(spec):
+        if kind == "quant":
+            f0 = quantize_f0(f0, value)
+        elif kind == "awgn":
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            key, sub = jax.random.split(key)
+            f0 = awgn_f0(f0, sub, value)
+        elif kind == "mean-reverv":
+            alpha, n = value
+            f0 = mean_reverv_f0(f0, alpha, n)
+    return f0
