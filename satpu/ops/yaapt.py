@@ -1,0 +1,675 @@
+"""YAAPT fundamental-frequency tracker, TPU-native JAX.
+
+Rebuild of the reference TorchScript port (satools/satools/hifigan/yaapt.py,
+itself a port of pYAAPT / the Binghamton MATLAB YAAPT: Zahorian & Hu, JASA
+123(6), 2008). The reference runs one CPU thread per utterance; here the
+whole pipeline is jittable and batched:
+
+- the 50-1500 Hz band-pass biquads are exact 2nd-order recurrences evaluated
+  with ``lax.associative_scan`` (parallel prefix, no sequential scan),
+- NLFER, the SHC spectral track and both NCCF time tracks are computed for
+  ALL frames as dense batched tensor ops (the reference loops python-side over
+  voiced frames only); unvoiced frames are masked afterwards,
+- the two dynamic programs (dynamic5 over the compacted voiced frames and the
+  final candidate Viterbi, yaapt.py:506-570) run as ``lax.scan`` with
+  identity-transition padding so compaction keeps a static shape.
+
+Reference quirks that materially shape the output are reproduced:
+``nonzero()[0]`` in cmp_rate (yaapt.py:635) limits each NCCF frame to a
+single candidate; F.interpolate 'linear' resamples the compacted nonzero
+spectral track rather than gap-filling (yaapt.py:293-306); spec_pitch[0:2]
+are overwritten with [2:4] (yaapt.py:309-310).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = 1e30
+
+DEFAULTS = dict(
+    sr=16000.0, frame_length=35.0, tda_frame_length=35.0, frame_space=10.0,
+    f0_min=60.0, f0_max=400.0, fft_length=8192.0, bp_low=50.0, bp_high=1500.0,
+    nlfer_thresh1=0.75, nlfer_thresh2=0.1, shc_numharms=3.0, shc_window=40.0,
+    shc_maxpeaks=4.0, shc_pwidth=50.0, shc_thresh1=5.0, shc_thresh2=1.25,
+    f0_double=150.0, f0_half=150.0, dp5_k1=11.0, nccf_thresh1=0.3,
+    nccf_thresh2=0.9, nccf_maxcands=3.0, nccf_pwidth=5.0, merit_boost=0.20,
+    merit_pivot=0.99, merit_extra=0.4, median_value=7.0, dp_w1=0.15, dp_w2=0.5,
+    dp_w3=0.1, dp_w4=0.9, spec_pitch_min_std=0.05,
+)
+
+
+# ---------------------------------------------------------------------------
+# Biquad band-pass (torchaudio lowpass_biquad/highpass_biquad formulas)
+# ---------------------------------------------------------------------------
+
+
+def _biquad_coeffs(fs: float, freq: float, kind: str, Q: float = 0.707):
+    w0 = 2.0 * math.pi * freq / fs
+    alpha = math.sin(w0) / (2.0 * Q)
+    cos_w0 = math.cos(w0)
+    if kind == "lowpass":
+        b = np.array([(1 - cos_w0) / 2, 1 - cos_w0, (1 - cos_w0) / 2])
+    else:  # highpass
+        b = np.array([(1 + cos_w0) / 2, -(1 + cos_w0), (1 + cos_w0) / 2])
+    a = np.array([1 + alpha, -2 * cos_w0, 1 - alpha])
+    return (b / a[0]).astype(np.float64), (a / a[0]).astype(np.float64)
+
+
+def biquad(x: jnp.ndarray, b, a) -> jnp.ndarray:
+    """Exact direct-form-II-transposed biquad via parallel prefix scan.
+
+    y_t = u_t - a1 y_{t-1} - a2 y_{t-2} with u = FIR(b) * x. The 2nd-order
+    recurrence is evaluated with an associative scan over affine maps
+    (2x2 matrix + offset), exact and O(log T) depth on TPU.
+    """
+    x64 = x.astype(jnp.float64) if jax.config.jax_enable_x64 else x.astype(jnp.float32)
+    b = jnp.asarray(b, dtype=x64.dtype)
+    a = jnp.asarray(a, dtype=x64.dtype)
+    u = b[0] * x64
+    u = u.at[..., 1:].add(b[1] * x64[..., :-1])
+    u = u.at[..., 2:].add(b[2] * x64[..., :-2])
+
+    T = x.shape[-1]
+    M = jnp.array([[-a[1], -a[2]], [1.0, 0.0]], dtype=x64.dtype)
+    Ms = jnp.broadcast_to(M, x64.shape[:-1] + (T, 2, 2))
+    vs = jnp.stack([u, jnp.zeros_like(u)], axis=-1)  # [..., T, 2]
+
+    def combine(left, right):
+        Ml, vl = left
+        Mr, vr = right
+        return Mr @ Ml, jnp.einsum("...ij,...j->...i", Mr, vl) + vr
+
+    _, ys = jax.lax.associative_scan(combine, (Ms, vs), axis=-3)
+    return ys[..., 0].astype(jnp.float32)
+
+
+def bandpass(x: jnp.ndarray, fs: float, bp_low: float, bp_high: float) -> jnp.ndarray:
+    """lowpass(bp_high) then highpass(bp_low) (yaapt.py:42-51)."""
+    bl, al = _biquad_coeffs(fs, bp_high, "lowpass")
+    bh, ah = _biquad_coeffs(fs, bp_low, "highpass")
+    return biquad(biquad(x, bl, al), bh, ah)
+
+
+# ---------------------------------------------------------------------------
+# Small helpers
+# ---------------------------------------------------------------------------
+
+
+def frame_strided(x: jnp.ndarray, n_frames: int, size: int, hop: int) -> jnp.ndarray:
+    idx = (jnp.arange(n_frames) * hop)[:, None] + jnp.arange(size)[None, :]
+    return x[..., idx]
+
+
+def medfilt(x: jnp.ndarray, k: int, valid_len: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """1D median filter with zero padding (yaapt.py:54-69). If ``valid_len`` is
+    given, entries at index >= valid_len are treated as zero (compacted
+    buffers)."""
+    if k <= 1:
+        return x
+    pad = k // 2
+    if valid_len is not None:
+        x = jnp.where(jnp.arange(x.shape[-1]) < valid_len, x, 0.0)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    win = frame_strided(xp, x.shape[-1], k, 1)
+    return jnp.median(win, axis=-1)
+
+
+def compact_by_mask(mask: jnp.ndarray, *arrays):
+    """Stable-compact entries where mask is True to the front (static shape).
+
+    Returns (num_valid, gather_idx, compacted...). Invalid tail slots hold the
+    value of arrays at arbitrary masked-out positions — callers must mask.
+    """
+    order = jnp.argsort(~mask, stable=True)
+    n = jnp.sum(mask.astype(jnp.int32))
+    outs = [a[..., order] if a.ndim == 1 else a[:, order] for a in arrays]
+    return n, order, outs
+
+
+def masked_mean(x, mask, axis=None):
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m, axis=axis) / jnp.maximum(jnp.sum(m, axis=axis), 1.0)
+
+
+def masked_std(x, mask, axis=None, ddof=1):
+    m = mask.astype(x.dtype)
+    n = jnp.sum(m, axis=axis)
+    mu = jnp.sum(x * m, axis=axis) / jnp.maximum(n, 1.0)
+    var = jnp.sum(((x - mu) ** 2) * m, axis=axis) / jnp.maximum(n - ddof, 1.0)
+    return jnp.sqrt(var)
+
+
+def linear_resample_compact(x: jnp.ndarray, num_valid: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) of x[:num_valid]
+    to length out_len (yaapt.py:302-306), with dynamic input length."""
+    scale = num_valid.astype(jnp.float32) / out_len
+    pos = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
+    pos = jnp.clip(pos, 0.0, jnp.maximum(num_valid.astype(jnp.float32) - 1.0, 0.0))
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, jnp.maximum(num_valid - 1, 0))
+    frac = pos - lo.astype(jnp.float32)
+    return x[lo] * (1.0 - frac) + x[hi] * frac
+
+
+def viterbi_path(local: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
+    """Lowest-cost candidate path, the reference's path1 (yaapt.py:530-570).
+
+    local [C, T]; trans [C, C, T] with trans[next, prev, t]. Ties resolved
+    like the reference (argmin of the flipped array = LAST argmin).
+    """
+    C, T = local.shape
+
+    def last_argmin(v, axis):
+        return v.shape[axis] - 1 - jnp.argmin(jnp.flip(v, axis=axis), axis=axis)
+
+    def step(pcost, inp):
+        local_t, trans_t = inp
+        aux = pcost[None, :] + trans_t
+        K = last_argmin(aux, axis=1)
+        ccost = pcost[K] + trans_t[jnp.arange(C), K] + local_t
+        return ccost, K
+
+    pcost0 = local[:, 0]
+    final_cost, preds = jax.lax.scan(
+        step, pcost0, (local.T[1:], jnp.moveaxis(trans, 2, 0)[1:]))
+    end = C - 1 - jnp.argmin(final_cost[::-1])
+
+    def back(nxt, pred_t):
+        prev = pred_t[nxt]
+        return prev, nxt
+
+    first, path_tail_rev = jax.lax.scan(back, end, preds[::-1])
+    path = jnp.concatenate([jnp.array([first]), path_tail_rev[::-1]])
+    return path  # [T]
+
+
+# ---------------------------------------------------------------------------
+# NLFER (yaapt.py:148-176)
+# ---------------------------------------------------------------------------
+
+
+def nlfer(filtered: jnp.ndarray, frame_size: int, frame_jump: int, nfft: int,
+          p: Dict[str, float]):
+    size = filtered.shape[-1]
+    fs = p["sr"]
+    n_min = int(np.round(p["f0_min"] * 2 / fs * nfft))
+    n_max = int(np.round(p["f0_max"] / fs * nfft))
+    n_frames = len(range(frame_size // 2, size - frame_size // 2, frame_jump))
+    window = jnp.asarray(np.hanning(frame_size + 2)[1:-1].astype(np.float32))
+    frames = frame_strided(filtered, n_frames, frame_size, frame_jump) * window
+    spec = jnp.fft.rfft(frames, nfft)
+    frame_energy = jnp.sum(jnp.abs(spec[:, n_min - 1 : n_max]), axis=1).astype(jnp.float32)
+    mean_energy = jnp.mean(frame_energy)
+    energy = frame_energy / mean_energy
+    vuv = energy > p["nlfer_thresh1"]
+    return energy, vuv, n_frames
+
+
+# ---------------------------------------------------------------------------
+# Spectral track: SHC + peaks + dynamic5 (yaapt.py:184-312)
+# ---------------------------------------------------------------------------
+
+
+def shc_all_frames(filtered_nl: jnp.ndarray, n_frames: int, frame_size: int,
+                   frame_jump: int, nfft: int, p: Dict[str, float]) -> jnp.ndarray:
+    """SHC spectra for every frame: [n_frames, max_SHC]."""
+    fs = p["sr"]
+    nframe_size = frame_size * 2
+    delta = fs / nfft
+    window_length = int(math.floor(p["shc_window"] / delta))
+    if window_length % 2 == 0:
+        window_length += 1
+    half_window = window_length // 2
+    max_shc = int(math.floor((p["f0_max"] + p["shc_pwidth"] * 2) / delta))
+    min_shc = int(math.ceil(p["f0_min"] / delta))
+    num_harmonics = int(p["shc_numharms"])
+
+    size = filtered_nl.shape[-1]
+    pad_to = nframe_size + (n_frames - 1) * frame_jump
+    data = jnp.pad(filtered_nl, (0, max(0, pad_to - size)))
+    window = jnp.asarray(np.kaiser(nframe_size + 1, 0.5)[:-1].astype(np.float32))
+    frames = frame_strided(data, n_frames, nframe_size, frame_jump) * window
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    mag = jnp.abs(jnp.fft.rfft(frames, nfft))  # [F, nfft//2+1]
+    # reference prepends half_window zeros (yaapt.py:220,229)
+    mag = jnp.pad(mag, ((0, 0), (half_window, 0)))
+
+    # SHC[k-? ] see yaapt.py:231-235: SHC[min_shc-1+i] =
+    #   sum_j prod_h mag[(min_shc+i)*(h+1) + j]
+    i_idx = np.arange(max_shc - min_shc + 1)
+    h_idx = np.arange(num_harmonics + 1)
+    j_idx = np.arange(window_length)
+    gather = ((min_shc + i_idx)[:, None, None] * (h_idx + 1)[None, :, None]
+              + j_idx[None, None, :])  # [I, H, J]
+    gathered = mag[:, jnp.asarray(gather.reshape(-1))].reshape(
+        (n_frames,) + gather.shape)
+    shc_band = jnp.sum(jnp.prod(gathered, axis=2), axis=2)  # [F, I]
+    shc = jnp.zeros((n_frames, max_shc), dtype=jnp.float32)
+    shc = shc.at[:, min_shc - 1 : max_shc].set(shc_band[:, : max_shc - min_shc + 1])
+    return shc
+
+
+def peaks_frame(data: jnp.ndarray, delta: float, maxpeaks: int, p: Dict[str, float]):
+    """Vectorized peaks() (yaapt.py:383-497) for one SHC frame."""
+    thresh1, thresh2 = p["shc_thresh1"], p["shc_thresh2"]
+    eps = 1e-14
+    width = int(math.floor(p["shc_pwidth"] / delta))
+    if width % 2 == 0:
+        width += 1
+    center = int(math.ceil(width / 2))
+    min_lag = max(1, int(math.floor(p["f0_min"] / delta - center)))
+    max_lag = min(len(data) - width, int(math.floor(p["f0_max"] / delta + center)))
+
+    max_data = jnp.max(data[min_lag : max_lag + 1])
+    data = jnp.where(max_data > eps, data / max_data, data)
+    avg_data = jnp.mean(data[min_lag : max_lag + 1])
+
+    # candidate positions n in [min_lag+center+1, max_lag-center+1)
+    n_pos = np.arange(min_lag + center + 1, max_lag - center + 1)
+    d_n = data[n_pos]
+    is_peak = (d_n > data[n_pos - 1]) & (d_n > data[n_pos + 1]) & (d_n > thresh2 * avg_data)
+    # centered-argmax check over [n-center, n+center]: strict max vs left,
+    # >= max of right (argmax returns first occurrence)
+    win = data[(n_pos[:, None] + np.arange(-center, center + 1)[None, :])]
+    left_max = jnp.max(win[:, :center], axis=1)
+    right_max = jnp.max(win[:, center + 1 :], axis=1)
+    centered = (d_n > left_max) & (d_n >= right_max)
+    valid = is_peak & centered
+
+    merit_all = jnp.where(valid, d_n, -1.0)
+    # stable top-maxpeaks by merit desc, ties by lag order (argsort is stable)
+    order = jnp.argsort(-merit_all, stable=True)[:maxpeaks]
+    sel_valid = valid[order]
+    pitch = jnp.where(sel_valid, jnp.asarray(n_pos)[order].astype(jnp.float32) * delta, 0.0)
+    merit = jnp.where(sel_valid, d_n[order], 0.0)
+    numpeaks = jnp.sum(valid.astype(jnp.int32))
+    numpeaks = jnp.minimum(numpeaks, maxpeaks)
+
+    # Step4 extras (yaapt.py:476-491)
+    def with_peaks(pitch, merit, numpeaks):
+        def add_extra(pm, cond, value):
+            pitch, merit, numpeaks = pm
+            new_n = jnp.minimum(numpeaks + 1, maxpeaks)
+            idx = new_n - 1
+            pitch = jnp.where(cond, pitch.at[idx].set(value), pitch)
+            merit = jnp.where(cond, merit.at[idx].set(p["merit_extra"]), merit)
+            numpeaks = jnp.where(cond, new_n, numpeaks)
+            return pitch, merit, numpeaks
+
+        pm = (pitch, merit, numpeaks)
+        pm = add_extra(pm, pm[0][0] > p["f0_double"], pm[0][0] / 2.0)
+        pm = add_extra(pm, pm[0][0] < p["f0_half"], pm[0][0] * 2.0)
+        pitch, merit, numpeaks = pm
+        slots = jnp.arange(maxpeaks)
+        fill = slots >= numpeaks
+        pitch = jnp.where(fill, pitch[0], pitch)
+        merit = jnp.where(fill, merit[0], merit)
+        return pitch, merit
+
+    pitch_f, merit_f = with_peaks(pitch, merit, numpeaks)
+    has_peaks = numpeaks > 0
+    step2_fail = jnp.max(merit) / avg_data < thresh1
+    avg_fail = avg_data > 1.0 / thresh1
+    no_result = avg_fail | step2_fail | (~has_peaks)
+    pitch_out = jnp.where(no_result, jnp.zeros(maxpeaks), pitch_f)
+    merit_out = jnp.where(no_result, jnp.ones(maxpeaks), merit_f)
+    return pitch_out, merit_out
+
+
+def spec_track(filtered_nl: jnp.ndarray, energy, vuv, n_frames: int,
+               frame_size: int, frame_jump: int, nfft: int, p: Dict[str, float]):
+    fs = p["sr"]
+    delta = fs / nfft
+    maxpeaks = int(p["shc_maxpeaks"])
+    shc = shc_all_frames(filtered_nl, n_frames, frame_size, frame_jump, nfft, p)
+    pk, mr = jax.vmap(lambda s: peaks_frame(s, delta, maxpeaks, p))(shc)
+    cand_pitch = jnp.where(vuv[:, None], pk, 0.0).T  # [maxpeaks, F]
+    cand_merit = jnp.where(vuv[:, None], mr, 1.0).T
+
+    voiced_mask = cand_pitch[0, :] > 0.0
+    num_voiced, order, (vp, vm) = compact_by_mask(voiced_mask, cand_pitch, cand_merit)
+    valid = jnp.arange(n_frames) < num_voiced
+
+    avg_voiced = masked_mean(vp[0], valid)
+    std_voiced = masked_std(vp[0], valid)
+
+    delta1 = jnp.abs(vp - 0.8 * avg_voiced) * (3.0 - vm)
+    delta1 = jnp.where(valid[None, :], delta1, INF)
+    index = jnp.argmin(delta1, axis=0)
+    cols = jnp.arange(n_frames)
+    peak_minmrt = vp[index, cols]
+    merit_minmrt = vm[index, cols]
+    k_med = max(1, int(p["median_value"]) - 2)
+    peak_minmrt = medfilt(peak_minmrt, k_med, valid_len=num_voiced)
+    vp = vp.at[index, cols].set(jnp.where(valid, peak_minmrt, vp[index, cols]))
+    vm = vm.at[index, cols].set(jnp.where(valid, merit_minmrt, vm[index, cols]))
+
+    # k1 = dp5_k1 * std/avg is data-dependent (yaapt.py:267), so the DP takes
+    # a traced scalar weight
+    weight_trans = p["dp5_k1"] * std_voiced / avg_voiced
+    voiced_pitch = _dynamic5_traced(vp, vm, num_voiced, weight_trans, p["f0_min"])
+    voiced_pitch = medfilt(voiced_pitch, k_med, valid_len=num_voiced)
+
+    # fallback when too few voiced candidates (yaapt.py:274-279)
+    few = num_voiced <= 2
+    voiced_pitch = jnp.where(few, jnp.full_like(voiced_pitch, 150.0), voiced_pitch)
+
+    pitch_avg = masked_mean(voiced_pitch, valid)
+    pitch_std = jnp.maximum(masked_std(voiced_pitch, valid),
+                            pitch_avg * p["spec_pitch_min_std"])
+
+    spec_pitch = jnp.zeros(n_frames)
+    # scatter voiced_pitch (compact) back to voiced positions
+    spec_pitch = spec_pitch.at[order].set(jnp.where(valid, voiced_pitch, 0.0))
+    spec_pitch = jnp.where(voiced_mask, spec_pitch, 0.0)
+
+    spec_pitch = spec_pitch.at[0].set(
+        jnp.where(spec_pitch[0] < pitch_avg / 2, pitch_avg, spec_pitch[0]))
+    spec_pitch = spec_pitch.at[-1].set(
+        jnp.where(spec_pitch[-1] < pitch_avg / 2, pitch_avg, spec_pitch[-1]))
+
+    # linear RESAMPLING of the nonzero entries (yaapt.py:292-306)
+    nz_mask = spec_pitch != 0
+    n_nz, nz_order, (nz_vals,) = compact_by_mask(nz_mask, spec_pitch)
+    nz_vals = jnp.where(jnp.arange(n_frames) < n_nz, nz_vals, 0.0)
+    spec_pitch = linear_resample_compact(nz_vals, n_nz, n_frames)
+    spec_pitch = spec_pitch.at[0].set(spec_pitch[2])
+    spec_pitch = spec_pitch.at[1].set(spec_pitch[3])
+    return spec_pitch, pitch_std
+
+
+def _dynamic5_traced(pitch_array, merit_array, num_valid, k1, f0_min):
+    C, T = pitch_array.shape
+    local = 1.0 - merit_array
+    d = jnp.abs(pitch_array[None, :, 1:] - pitch_array[:, None, :-1]) / f0_min
+    d = 0.05 * d + d**2
+    trans = jnp.zeros((C, C, T))
+    trans = trans.at[:, :, 1:].set(k1 * d)
+    local = jnp.where(jnp.arange(T)[None, :] < num_valid, local, 0.0)
+    eye = jnp.eye(C)[:, :, None]
+    pad_trans = jnp.where(eye > 0, 0.0, INF)
+    trans = jnp.where(jnp.arange(T)[None, None, :] < num_valid, trans, pad_trans)
+    path = viterbi_path(local, trans)
+    return pitch_array[path, jnp.arange(T)]
+
+
+# ---------------------------------------------------------------------------
+# NCCF time track (yaapt.py:577-729)
+# ---------------------------------------------------------------------------
+
+
+def time_track(filtered: jnp.ndarray, spec_pitch, pitch_std, energy, vuv,
+               n_frames_total: int, frame_jump: int, signal_len: int,
+               p: Dict[str, float]):
+    fs = p["sr"]
+    tda_frame_length = int(p["tda_frame_length"] * fs / 1000)
+    tda_noverlap = tda_frame_length - frame_jump
+    tda_nframes = int((signal_len - tda_noverlap) / frame_jump)
+    len_spectral = n_frames_total
+    tda_nframes = min(tda_nframes, len_spectral)
+    spec_pitch_t = spec_pitch[:tda_nframes]
+
+    merit_boost = p["merit_boost"]
+    maxcands = int(p["nccf_maxcands"])
+    freq_thresh = 5.0 * pitch_std
+
+    lo = jnp.maximum(spec_pitch_t - 2.0 * pitch_std, p["f0_min"])
+    hi = jnp.minimum(spec_pitch_t + 2.0 * pitch_std, p["f0_max"])
+
+    pw_half = int(math.floor(p["nccf_pwidth"] / 2.0))
+    lag_min_f = jnp.floor(fs / hi).astype(jnp.int32) - pw_half  # [F]
+    lag_max_f = jnp.floor(fs / lo).astype(jnp.int32) + pw_half
+
+    # static global bounds
+    glag_min = int(math.floor(fs / p["f0_max"])) - pw_half  # smallest possible
+    glag_max = int(math.floor(fs / p["f0_min"])) + pw_half
+
+    frames = frame_strided(filtered, tda_nframes, tda_frame_length, frame_jump)
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+
+    data_len = tda_frame_length
+    # cumulative sums enable per-frame dynamic window length N = data_len - lag_max
+    # numerator(k, N) = sum_{t<N} x[t] x[t+k]
+    # denom(k, N) = (sum_{t<N} x[t+k]^2) * (sum_{t<N} x[t]^2)
+    ks = np.arange(glag_min, glag_max)  # lag values
+    K = len(ks)
+    t_idx = np.arange(data_len - glag_min)  # max window length across lags
+
+    x = frames  # [F, L]
+    sq = x**2
+    cs_sq = jnp.cumsum(sq, axis=-1)  # prefix sums of x^2
+
+    def num_for_lag(k):
+        prod = x[:, : data_len - k] * x[:, k:data_len]
+        return jnp.cumsum(prod, axis=-1)  # [F, L-k]
+
+    # build [F, K] numerator and denominator at per-frame N via gather
+    N_f = data_len - lag_max_f  # [F] dynamic
+    Ns = jnp.clip(N_f, 1, None)
+
+    def per_lag(k_static):
+        cnum = num_for_lag(k_static)  # [F, L-k]
+        idx = jnp.clip(Ns - 1, 0, data_len - k_static - 1)
+        num = jnp.take_along_axis(cnum, idx[:, None], axis=1)[:, 0]
+        # sum_{t<N} x[t+k]^2 = cs_sq[k+N-1] - cs_sq[k-1]
+        hi_i = jnp.clip(k_static + Ns - 1, 0, data_len - 1)
+        upper = jnp.take_along_axis(cs_sq, hi_i[:, None], axis=1)[:, 0]
+        lower = jnp.take_along_axis(cs_sq, jnp.full_like(Ns, k_static - 1)[:, None],
+                                    axis=1)[:, 0] if k_static > 0 else 0.0
+        sum_sq_shift = upper - lower
+        p_energy = jnp.take_along_axis(cs_sq, jnp.clip(Ns - 1, 0, data_len - 1)[:, None],
+                                       axis=1)[:, 0]
+        denom = sum_sq_shift * p_energy
+        return num / jnp.sqrt(jnp.maximum(denom, 1e-30))
+
+    phi_cols = [per_lag(int(k)) for k in ks]
+    phi = jnp.stack(phi_cols, axis=1)  # [F, K] at lags ks
+
+    # per-frame valid lag range [lag_min_f, lag_max_f) (phi[lag_min:lag_max])
+    lag_axis = jnp.asarray(ks)
+    in_range = (lag_axis[None, :] >= lag_min_f[:, None]) & (lag_axis[None, :] < lag_max_f[:, None])
+    phi_m = jnp.where(in_range, phi, 0.0)
+
+    # cmp_rate (yaapt.py:609-673): candidate peaks in
+    # [lag_min+center, lag_max-center]; due to nonzero()[0] only the FIRST
+    # peak matters.
+    center = pw_half
+    d0 = phi_m
+    left = jnp.pad(d0, ((0, 0), (1, 0)))[:, :-1]
+    right = jnp.pad(d0, ((0, 0), (0, 1)))[:, 1:]
+    peak_band = ((lag_axis[None, :] >= lag_min_f[:, None] + center)
+                 & (lag_axis[None, :] <= lag_max_f[:, None] - center))
+    is_peak = (d0 > left) & (d0 > right) & (d0 > p["nccf_thresh1"]) & peak_band
+    any_peak = jnp.any(is_peak, axis=1)
+    first_peak = jnp.argmax(is_peak, axis=1)  # index into ks of first peak
+    first_lag = lag_axis[first_peak]
+    phi_max = jnp.max(phi_m, axis=1)
+
+    # branch A: phi_max > thresh2 -> candidate = first peak
+    # branch B: else -> same single peak but only if centered-argmax holds
+    win_idx = first_peak[:, None] + jnp.arange(-center, center + 1)[None, :]
+    win_idx = jnp.clip(win_idx, 0, K - 1)
+    wvals = jnp.take_along_axis(phi_m, win_idx, axis=1)
+    d_peak = jnp.take_along_axis(phi_m, first_peak[:, None], axis=1)[:, 0]
+    left_max = jnp.max(wvals[:, :center], axis=1)
+    right_max = jnp.max(wvals[:, center + 1 :], axis=1)
+    centered = (d_peak > left_max) & (d_peak >= right_max)
+
+    useA = any_peak & (phi_max > p["nccf_thresh2"])
+    useB = any_peak & (~(phi_max > p["nccf_thresh2"])) & centered
+    pitch0 = jnp.where(useA | useB, fs / (first_lag.astype(jnp.float32) + 1.0), 0.0)
+    merit0 = jnp.where(useA | useB, d_peak, 0.0)
+    # normalization: merit /= max(merit) if > 1 (single candidate: cap at 1)
+    merit0 = jnp.where(merit0 > 1.0, 1.0, merit0)
+
+    time_pitch = jnp.zeros((maxcands, tda_nframes))
+    time_merit = jnp.zeros((maxcands, tda_nframes))
+    time_pitch = time_pitch.at[0].set(pitch0)
+    time_merit = time_merit.at[0].set(merit0)
+
+    diff = jnp.abs(time_pitch - spec_pitch_t[None, :])
+    match1 = diff < freq_thresh
+    match = (1.0 - diff / freq_thresh) * match1
+    time_merit = (1.0 + merit_boost) * time_merit * match
+    # pad to full length (yaapt.py:917-928)
+    pad = n_frames_total - tda_nframes
+    if pad > 0:
+        time_pitch = jnp.pad(time_pitch, ((0, 0), (0, pad)))
+        time_merit = jnp.pad(time_merit, ((0, 0), (0, pad)))
+    return time_pitch, time_merit
+
+
+# ---------------------------------------------------------------------------
+# refine + final dynamic (yaapt.py:321-370, 732-784)
+# ---------------------------------------------------------------------------
+
+
+def refine(tp1, tm1, tp2, tm2, spec_pitch, energy, vuv, p: Dict[str, float]):
+    n_frames = tp1.shape[1]
+    time_pitch = jnp.concatenate([tp1, tp2], axis=0)
+    time_merit = jnp.concatenate([tm1, tm2], axis=0)
+    maxcands = time_pitch.shape[0]
+
+    idx = jnp.argsort(-time_merit, axis=0, stable=True)
+    time_merit = jnp.flip(jnp.sort(time_merit, axis=0), axis=0)
+    time_pitch = jnp.take_along_axis(time_pitch, idx, axis=0)
+
+    best_pitch = medfilt(time_pitch[0], int(p["median_value"])) * vuv
+
+    idx1 = energy <= p["nlfer_thresh2"]
+    idx2 = (energy > p["nlfer_thresh2"]) & (time_pitch[0] > 0)
+    idx3 = (energy > p["nlfer_thresh2"]) & (time_pitch[0] <= 0)
+    merit_mat = (time_pitch[1 : maxcands - 1] == 0) & idx2[None, :]
+    merit_mat = jnp.concatenate(
+        [jnp.zeros((1, n_frames), bool), merit_mat, jnp.zeros((1, n_frames), bool)], axis=0)
+
+    time_pitch = jnp.where(idx1[None, :], 0.0, time_pitch)
+    time_merit = jnp.where(idx1[None, :], p["merit_pivot"], time_merit)
+
+    time_pitch = time_pitch.at[maxcands - 1].set(
+        jnp.where(idx2, 0.0, time_pitch[maxcands - 1]))
+    time_merit = time_merit.at[maxcands - 1].set(
+        jnp.where(idx2, 1.0 - time_merit[0], time_merit[maxcands - 1]))
+    time_merit = jnp.where(merit_mat, 0.0, time_merit)
+
+    time_pitch = time_pitch.at[0].set(jnp.where(idx3, spec_pitch, time_pitch[0]))
+    time_merit = time_merit.at[0].set(
+        jnp.where(idx3, jnp.minimum(1.0, energy / 2.0), time_merit[0]))
+    rows = jnp.arange(maxcands)[:, None]
+    rest = (rows >= 1) & idx3[None, :]
+    time_pitch = jnp.where(rest, 0.0, time_pitch)
+    time_merit = jnp.where(rest, 1.0 - time_merit[0][None, :], time_merit)
+
+    time_pitch = time_pitch.at[maxcands - 2].set(best_pitch)
+    nzf = best_pitch > 0.0
+    time_merit = time_merit.at[maxcands - 2].set(
+        jnp.where(nzf, time_merit[0], 1.0 - jnp.minimum(1.0, energy / 2.0)))
+
+    time_pitch = time_pitch.at[maxcands - 3].set(spec_pitch)
+    time_merit = time_merit.at[maxcands - 3].set(energy / 5.0)
+    return time_pitch, time_merit
+
+
+def dynamic_final(ref_pitch, ref_merit, energy, p: Dict[str, float]):
+    num_cands, n_frames = ref_pitch.shape
+    best_pitch = ref_pitch[num_cands - 2]
+    mean_pitch = masked_mean(best_pitch, best_pitch > 0)
+
+    local = 1.0 - ref_merit
+    r1 = jnp.zeros((num_cands, num_cands, n_frames))
+    r2 = jnp.zeros((num_cands, num_cands, n_frames))
+    r1 = r1.at[:, :, 1:].set(jnp.tile(ref_pitch[:, 1:][None, :, :], (num_cands, 1, 1)))
+    r2 = r2.at[:, :, 1:].set(jnp.tile(ref_pitch[:, :-1][:, None, :], (1, num_cands, 1)))
+    i1 = (r1 > 0) & (r2 > 0)
+    i2 = ((r1 == 0) & (r2 > 0)) | ((r1 > 0) & (r2 == 0))
+    i3 = (r1 == 0) & (r2 == 0)
+    frame0 = jnp.arange(n_frames) == 0
+    i1 = i1 & ~frame0[None, None, :]
+    i2 = i2 & ~frame0[None, None, :]
+    i3 = i3 & ~frame0[None, None, :]
+
+    mat1 = jnp.abs(r1 - r2) / mean_pitch
+    ben2 = jnp.concatenate([jnp.zeros(1), jnp.minimum(1.0, jnp.abs(energy[:-1] - energy[1:]))])
+    ben2 = jnp.broadcast_to(ben2, (num_cands, num_cands, n_frames))
+
+    trans = jnp.ones((num_cands, num_cands, n_frames))
+    trans = jnp.where(i1, p["dp_w1"] * mat1, trans)
+    trans = jnp.where(i2, p["dp_w2"] * (1.0 - ben2), trans)
+    trans = jnp.where(i3, p["dp_w3"], trans)
+    trans = trans / p["dp_w4"]
+    # reference trans tensor is [prev?, next?, T] but path1 treats axis0 as
+    # current and axis1 as previous (see yaapt.py:553-556); the tensor built
+    # in dynamic() uses ref_mat1 = pitch at t (tiled over axis0) and ref_mat2
+    # = pitch at t-1 (tiled over axis1), so axis0 indexes t-1 candidates,
+    # axis1 indexes t candidates; path1's usage transposes this implicitly.
+    # Follow the reference composition verbatim: aux = PCOST + trans[:, :, I]
+    # broadcasts PCOST over axis1 (columns). To reuse viterbi_path (which
+    # wants trans[next, prev, t]) pass the transpose.
+    path = viterbi_path(local, jnp.transpose(trans, (1, 0, 2)))
+    return ref_pitch[path, jnp.arange(n_frames)]
+
+
+# ---------------------------------------------------------------------------
+# main entry
+# ---------------------------------------------------------------------------
+
+
+def _merged_params(opts: Optional[Dict[str, float]]) -> Dict[str, float]:
+    p = dict(DEFAULTS)
+    if opts:
+        if "frame_lengtht" in opts and "tda_frame_length" not in opts:
+            opts = dict(opts)
+            opts["tda_frame_length"] = opts.pop("frame_lengtht")
+        p.update(opts)
+    return p
+
+
+def yaapt_single(x: jnp.ndarray, p: Dict[str, float]) -> jnp.ndarray:
+    """One utterance [T] -> f0 per frame (0 = unvoiced)."""
+    fs = p["sr"]
+    to_pad = int(p["frame_length"] / 1000 * int(fs)) // 2
+    x = jnp.pad(x, (to_pad, to_pad))
+    size = x.shape[-1]
+
+    signal_f = bandpass(x, fs, p["bp_low"], p["bp_high"])
+    nonlin_f = bandpass(x**2, fs, p["bp_low"], p["bp_high"])
+
+    nfft = int(p["fft_length"])
+    frame_size = int(math.floor(p["frame_length"] * fs / 1000))
+    frame_jump = int(math.floor(p["frame_space"] * fs / 1000))
+
+    energy, vuv, n_frames = nlfer(signal_f, frame_size, frame_jump, nfft, p)
+    spec_pitch, pitch_std = spec_track(nonlin_f, energy, vuv, n_frames,
+                                       frame_size, frame_jump, nfft, p)
+    tp1, tm1 = time_track(signal_f, spec_pitch, pitch_std, energy, vuv,
+                          n_frames, frame_jump, size, p)
+    tp2, tm2 = time_track(nonlin_f, spec_pitch, pitch_std, energy, vuv,
+                          n_frames, frame_jump, size, p)
+    ref_pitch, ref_merit = refine(tp1, tm1, tp2, tm2, spec_pitch, energy, vuv, p)
+    final_pitch = dynamic_final(ref_pitch, ref_merit, energy, p)
+    return final_pitch
+
+
+@functools.partial(jax.jit, static_argnames=("opts_tuple",))
+def _yaapt_jit(x: jnp.ndarray, opts_tuple) -> jnp.ndarray:
+    p = dict(opts_tuple)
+    if x.ndim == 1:
+        return yaapt_single(x, p)
+    return jax.vmap(lambda w: yaapt_single(w, p))(x)
+
+
+def yaapt(x, opts: Optional[Dict[str, float]] = None) -> jnp.ndarray:
+    """[B, T] (or [T]) audio -> [B, n_frames] F0 (Hz; 0 where unvoiced).
+
+    Matches the reference entry (hifigan/yaapt.py:946-951) but runs the batch
+    as one fused XLA computation instead of a python loop of single-threaded
+    CPU trackers.
+    """
+    p = _merged_params(opts)
+    return _yaapt_jit(jnp.asarray(x, dtype=jnp.float32), tuple(sorted(p.items())))

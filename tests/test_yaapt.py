@@ -1,0 +1,142 @@
+"""Golden tests: satpu.ops.yaapt vs the reference torch YAAPT
+(satools/satools/hifigan/yaapt.py, loaded with TorchScript stripped and
+torchaudio biquads replaced by exact scipy equivalents)."""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+def _ref_yaapt():
+    if "ref_yaapt" in sys.modules:
+        return sys.modules["ref_yaapt"]
+    import torch
+    from scipy.signal import lfilter
+
+    def _coeffs(fs, freq, kind, Q=0.707):
+        import math
+
+        w0 = 2 * math.pi * freq / fs
+        alpha = math.sin(w0) / (2 * Q)
+        c = math.cos(w0)
+        if kind == "lp":
+            b = np.array([(1 - c) / 2, 1 - c, (1 - c) / 2])
+        else:
+            b = np.array([(1 + c) / 2, -(1 + c), (1 + c) / 2])
+        a = np.array([1 + alpha, -2 * c, 1 - alpha])
+        return b / a[0], a / a[0]
+
+    ta = types.ModuleType("torchaudio")
+    taf = types.ModuleType("torchaudio.functional")
+
+    def lowpass_biquad(x, fs, cutoff):
+        b, a = _coeffs(fs, cutoff, "lp")
+        return torch.from_numpy(lfilter(b, a, x.numpy().astype(np.float64)).astype(np.float32))
+
+    def highpass_biquad(x, fs, cutoff):
+        b, a = _coeffs(fs, cutoff, "hp")
+        return torch.from_numpy(lfilter(b, a, x.numpy().astype(np.float64)).astype(np.float32))
+
+    taf.lowpass_biquad = lowpass_biquad
+    taf.highpass_biquad = highpass_biquad
+    ta.functional = taf
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.functional"] = taf
+
+    src = open("/root/reference/satools/satools/hifigan/yaapt.py").read()
+    src = src.replace("@torch.jit.script\n", "")
+    src = src.replace("fut = torch.jit.fork(time_track, signal, spec_pitch, pitch_std, pitch,\n"
+                      "                                          parameters)",
+                      "fut = None")
+    src = src.replace("fut1 = torch.jit.fork(time_track, nonlinear_sign, spec_pitch, pitch_std,\n"
+                      "                                          pitch, parameters)",
+                      "fut1 = None")
+    src = src.replace("time_pitch1, time_merit1 = torch.jit.wait(fut)",
+                      "time_pitch1, time_merit1 = time_track(signal, spec_pitch, pitch_std, pitch, parameters)")
+    src = src.replace("time_pitch2, time_merit2 = torch.jit.wait(fut1)",
+                      "time_pitch2, time_merit2 = time_track(nonlinear_sign, spec_pitch, pitch_std, pitch, parameters)")
+    src = src.split('if __name__ == "__main__":')[0]
+    mod = types.ModuleType("ref_yaapt")
+    mod.__dict__["__name__"] = "ref_yaapt"
+    exec(compile(src, "ref_yaapt.py", "exec"), mod.__dict__)
+    sys.modules["ref_yaapt"] = mod
+    return mod
+
+
+OPTS = {
+    "frame_length": 35.0,
+    "frame_space": 20.0,
+    "nccf_thresh1": 0.25,
+    "tda_frame_length": 25.0,
+}
+
+
+def synth_speechlike(T=32000, fs=16000, seed=0):
+    """Silence + two voiced harmonic segments with vibrato + noise floor."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(T) / fs
+    x = rng.standard_normal(T) * 0.001
+    def tone(f0, start, end, amp=0.3):
+        seg = slice(int(start * fs), int(end * fs))
+        ts = t[seg]
+        f = f0 * (1 + 0.02 * np.sin(2 * np.pi * 4 * ts))
+        phase = 2 * np.pi * np.cumsum(f) / fs
+        s = np.zeros_like(ts)
+        for h, a in [(1, 1.0), (2, 0.6), (3, 0.4), (4, 0.2)]:
+            s += a * np.sin(h * phase)
+        env = np.minimum(1, np.minimum(np.arange(len(ts)) / 400, (len(ts) - np.arange(ts.size)) / 400))
+        return seg, s * amp * env
+    for f0, s0, e0 in [(120, 0.2, 0.8), (210, 1.1, 1.7)]:
+        seg, s = tone(f0, s0, e0)
+        x[seg] += s
+    return x.astype(np.float32)
+
+
+def test_yaapt_matches_reference():
+    import torch
+
+    from satpu.ops.yaapt import yaapt
+
+    ref_mod = _ref_yaapt()
+    x = synth_speechlike()
+    with torch.no_grad():
+        ref = ref_mod.yaapt(torch.from_numpy(x.copy()).unsqueeze(0), dict(OPTS)).numpy()[0]
+    out = np.asarray(yaapt(x[None, :], OPTS))[0]
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+
+    ref_v = ref > 0
+    out_v = out > 0
+    agree = np.mean(ref_v == out_v)
+    assert agree > 0.9, f"vuv agreement {agree}"
+    both = ref_v & out_v
+    if both.sum() > 0:
+        rel = np.abs(out[both] - ref[both]) / ref[both]
+        assert np.median(rel) < 0.02, f"median f0 err {np.median(rel)}"
+        assert np.mean(rel < 0.05) > 0.85, f"f0 within 5%: {np.mean(rel < 0.05)}"
+
+
+def test_yaapt_shapes_and_batch():
+    from satpu.ops.yaapt import yaapt
+
+    x = synth_speechlike(T=16000)
+    out = np.asarray(yaapt(np.stack([x, x]), OPTS))
+    assert out.shape[0] == 2
+    np.testing.assert_allclose(out[0], out[1], atol=1e-4)
+    # frame rate: 20ms hop after 17.5ms padding both sides
+    n_expected = len(range(280, 16000 + 560 - 280, 320))
+    assert out.shape[1] == n_expected
+
+
+def test_yaapt_detects_pitch():
+    from satpu.ops.yaapt import yaapt
+
+    fs = 16000
+    t = np.arange(24000) / fs
+    f0 = 150.0
+    x = (0.4 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(4 * np.pi * f0 * t)
+         + 0.001 * np.random.default_rng(0).standard_normal(t.size)).astype(np.float32)
+    out = np.asarray(yaapt(x[None], OPTS))[0]
+    voiced = out[out > 0]
+    assert voiced.size > 0.7 * out.size
+    assert abs(np.median(voiced) - f0) < 7.5, np.median(voiced)
