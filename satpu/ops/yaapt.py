@@ -445,31 +445,33 @@ def time_track(filtered: jnp.ndarray, spec_pitch, pitch_std, energy, vuv,
     sq = x**2
     cs_sq = jnp.cumsum(sq, axis=-1)  # prefix sums of x^2
 
-    def num_for_lag(k):
-        prod = x[:, : data_len - k] * x[:, k:data_len]
-        return jnp.cumsum(prod, axis=-1)  # [F, L-k]
-
-    # build [F, K] numerator and denominator at per-frame N via gather
+    # fully vectorized over lags: prod[f, k, t] = x[f, t] * x[f, t+k]
+    # (masked for t >= L-k), one cumsum, then per-frame gathers at the
+    # dynamic window length N = L - lag_max(frame).
     N_f = data_len - lag_max_f  # [F] dynamic
     Ns = jnp.clip(N_f, 1, None)
-
-    def per_lag(k_static):
-        cnum = num_for_lag(k_static)  # [F, L-k]
-        idx = jnp.clip(Ns - 1, 0, data_len - k_static - 1)
-        num = jnp.take_along_axis(cnum, idx[:, None], axis=1)[:, 0]
-        # sum_{t<N} x[t+k]^2 = cs_sq[k+N-1] - cs_sq[k-1]
-        hi_i = jnp.clip(k_static + Ns - 1, 0, data_len - 1)
-        upper = jnp.take_along_axis(cs_sq, hi_i[:, None], axis=1)[:, 0]
-        lower = jnp.take_along_axis(cs_sq, jnp.full_like(Ns, k_static - 1)[:, None],
-                                    axis=1)[:, 0] if k_static > 0 else 0.0
-        sum_sq_shift = upper - lower
-        p_energy = jnp.take_along_axis(cs_sq, jnp.clip(Ns - 1, 0, data_len - 1)[:, None],
-                                       axis=1)[:, 0]
-        denom = sum_sq_shift * p_energy
-        return num / jnp.sqrt(jnp.maximum(denom, 1e-30))
-
-    phi_cols = [per_lag(int(k)) for k in ks]
-    phi = jnp.stack(phi_cols, axis=1)  # [F, K] at lags ks
+    ks_j = jnp.asarray(ks)  # [K]
+    t_j = jnp.arange(data_len)  # [L]
+    shift_idx = jnp.clip(t_j[None, :] + ks_j[:, None], 0, data_len - 1)  # [K, L]
+    valid_t = (t_j[None, :] + ks_j[:, None]) < data_len
+    xk = x[:, shift_idx]  # [F, K, L]
+    prod = jnp.where(valid_t[None], x[:, None, :] * xk, 0.0)
+    cnum = jnp.cumsum(prod, axis=-1)  # [F, K, L]
+    # numerator(k, N) = cnum[..., N-1]  (N-1 < L-k always since N = L-lag_max)
+    n_idx = jnp.clip(Ns - 1, 0, data_len - 1)  # [F]
+    num = jnp.take_along_axis(
+        cnum, jnp.broadcast_to(n_idx[:, None, None], (x.shape[0], len(ks), 1)),
+        axis=2)[..., 0]  # [F, K]
+    # sum_{t<N} x[t+k]^2 = cs_sq[k+N-1] - cs_sq[k-1]
+    hi_i = jnp.clip(ks_j[None, :] + Ns[:, None] - 1, 0, data_len - 1)  # [F, K]
+    upper = jnp.take_along_axis(cs_sq, hi_i, axis=1)
+    lo_i = jnp.clip(ks_j[None, :] - 1, 0, data_len - 1)
+    lower = jnp.where(ks_j[None, :] > 0, jnp.take_along_axis(
+        cs_sq, jnp.broadcast_to(lo_i, hi_i.shape), axis=1), 0.0)
+    sum_sq_shift = upper - lower
+    p_energy = jnp.take_along_axis(cs_sq, n_idx[:, None], axis=1)  # [F, 1]
+    denom = sum_sq_shift * p_energy
+    phi = num / jnp.sqrt(jnp.maximum(denom, 1e-30))  # [F, K] at lags ks
 
     # per-frame valid lag range [lag_min_f, lag_max_f) (phi[lag_min:lag_max])
     lag_axis = jnp.asarray(ks)
