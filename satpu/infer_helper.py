@@ -1,0 +1,111 @@
+"""Model registry + self-describing checkpoint loading.
+
+The reference distributes models as self-describing checkpoints that embed the
+tuning-file path and build args, reconstructed via dynamic import
+(satools/satools/infer_helper.py:10-59). satpu keeps the same capability with
+a safer mechanism: checkpoints carry a ``model_id`` resolved through a
+registry of builders, plus the JSON build params. ``load_model`` rebuilds the
+flax module and returns (model, variables, meta).
+
+A converter entry point imports reference torch ``final.pt`` checkpoints
+(downloaded separately; this environment has no network egress).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+from .utils.checkpoint import load_checkpoint, save_checkpoint
+
+MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register_model(model_id: str):
+    def deco(builder):
+        MODEL_REGISTRY[model_id] = builder
+        return builder
+
+    return deco
+
+
+def _register_builtins():
+    from .models.asrbn import TDNNFNet, TDNNFNetConfig
+    from .models.anonymizer import AnonymizationNet, AnonymizerConfig
+
+    if "asrbn_tdnnf" not in MODEL_REGISTRY:
+
+        @register_model("asrbn_tdnnf")
+        def _build_asrbn(**kwargs):
+            return TDNNFNet(TDNNFNetConfig(**kwargs))
+
+        @register_model("anonymizer_tdnnf_hifigan")
+        def _build_anon(**kwargs):
+            asrbn_kwargs = kwargs.pop("asrbn", {})
+            cfg = AnonymizerConfig(asrbn=TDNNFNetConfig(**asrbn_kwargs), **kwargs)
+            return AnonymizationNet(cfg)
+
+
+def build_model(model_id: str, **build_params):
+    _register_builtins()
+    if model_id not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model_id {model_id!r}; known: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[model_id](**build_params)
+
+
+def load_model(path: str, load_weight: bool = True,
+               option_args: Optional[Dict[str, Any]] = None):
+    """Checkpoint file -> (model, variables, meta).
+
+    Mirrors infer_helper.load_model(file, load_weight, option_args)
+    (infer_helper.py:10-59): option_args override stored build params (the
+    reference's "tag+f0-transformation=..." mechanism).
+    """
+    meta, state = load_checkpoint(path)
+    build_params = dict(meta.get("build_params", {}))
+    if option_args:
+        build_params.update(option_args)
+    model = build_model(meta["model_id"], **build_params)
+    variables = state.get("variables", state) if load_weight else None
+    return model, variables, meta
+
+
+def save_model(path: str, model_id: str, build_params: Dict[str, Any],
+               variables, extra_meta: Optional[Dict[str, Any]] = None) -> None:
+    meta = {"model_id": model_id, "build_params": build_params}
+    if extra_meta:
+        meta.update(extra_meta)
+    save_checkpoint(path, meta, {"variables": variables})
+
+
+def import_reference_checkpoint(torch_ckpt_path: str, out_path: str,
+                                kind: str = "anonymizer") -> str:
+    """Convert a reference torch checkpoint (final.pt) into a satpu checkpoint.
+
+    The reference checkpoint dict carries base_model_state_dict +
+    base_model_params (chain/model.py:442-460).
+    """
+    import torch
+
+    blob = torch.load(torch_ckpt_path, map_location="cpu", weights_only=False)
+    sd = blob.get("base_model_state_dict", blob)
+    params_meta = blob.get("base_model_params", {})
+    if kind == "anonymizer":
+        from .models.anonymizer import convert_anonymizer_state_dict
+
+        variables = convert_anonymizer_state_dict(sd)
+        utt2spk = params_meta.get("utt2spk", {})
+        spk = sorted(set(utt2spk.values())) if utt2spk else []
+        build_params = {"num_speakers": len(spk) or 247}
+        extra = {"speakers": spk}
+        model_id = "anonymizer_tdnnf_hifigan"
+    elif kind == "asrbn":
+        from .models.convert import convert_asrbn
+
+        variables = convert_asrbn(sd)
+        build_params = {"output_dim": params_meta.get("output_dim", 3280)}
+        extra = {}
+        model_id = "asrbn_tdnnf"
+    else:
+        raise ValueError(kind)
+    save_model(out_path, model_id, build_params, variables, extra_meta=extra)
+    return out_path

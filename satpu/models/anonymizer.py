@@ -37,6 +37,15 @@ def interpolate_nearest(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     return x[..., idx]
 
 
+YAAPT_OPTS = {
+    # tuning/hifigan.py:31-36
+    "frame_length": 35.0,
+    "frame_space": 20.0,
+    "nccf_thresh1": 0.25,
+    "tda_frame_length": 25.0,
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class AnonymizerConfig:
     asrbn: TDNNFNetConfig = TDNNFNetConfig()
@@ -64,6 +73,14 @@ class AnonymizationNet(nn.Module):
     def setup(self):
         self.bn_extractor = TDNNFNet(self.cfg.asrbn, name="bn_extractor")
         self.hifigan = CoreHifiGan(self.cfg.hifigan_config(), name="hifigan")
+
+    @staticmethod
+    def get_f0(wav: jnp.ndarray) -> jnp.ndarray:
+        """[B, T] -> [B, T_f0] YAAPT pitch (tuning/hifigan.py:118-122).
+        Stateless; runs on TPU as part of the fused convert graph."""
+        from ..ops.yaapt import yaapt
+
+        return yaapt(wav, YAAPT_OPTS)
 
     def get_bn(self, wav: jnp.ndarray) -> jnp.ndarray:
         """[B, T] -> [B, bn_dim, T_bn] (reference layout, tuning/hifigan.py:113)."""
