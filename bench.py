@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark: anonymization throughput (audio-seconds per wall-second per chip).
+
+Runs the flagship pipeline — YAAPT F0 + fbank -> TDNNF+VQ48 BN -> HiFi-GAN —
+end-to-end on batches of LibriSpeech-dev-clean-like utterance lengths, on the
+default JAX device (one TPU chip under the driver).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
+driver north-star is >=10x a reference GPU real-time factor per chip. We use
+60 audio-sec/sec as the assumed reference-GPU anonymize RTF (the reference
+pipeline is YAAPT-CPU-bound at roughly real-time x cores; 60x/GPU-slot is a
+generous estimate), so vs_baseline = RTF / 60.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+ASSUMED_REF_GPU_RTF = 60.0
+
+
+def main():
+    from satpu.models.anonymizer import AnonymizationNet, AnonymizerConfig
+    from satpu.models.asrbn import TDNNFNetConfig
+
+    cfg = AnonymizerConfig(
+        asrbn=TDNNFNetConfig(output_dim=3280, bottleneck="vq", codebook_size=48),
+        num_speakers=247)
+    model = AnonymizationNet(cfg)
+
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    T = int(os.environ.get("BENCH_SAMPLES", "160000"))  # 10 s per utt
+    sr = 16000
+
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal((B, T)) * 0.05).astype(np.float32)
+    tid = (np.arange(B) % cfg.num_speakers).astype(np.int32)
+
+    n_f0 = len(range(280, T + 560 - 280, 320))
+    f0_zeros = np.zeros((B, n_f0), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), wav, f0_zeros, tid,
+                           method=model.convert)
+
+    @jax.jit
+    def convert(wav, tid):
+        f0 = model.get_f0(wav)
+        return model.apply(variables, wav, f0, tid, method=model.convert)
+
+    # warmup / compile
+    out = convert(wav, tid)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = convert(wav, tid)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    audio_sec = B * (T / sr) * iters
+    rtf = audio_sec / dt
+    print(json.dumps({
+        "metric": "anonymize_throughput",
+        "value": round(rtf, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(rtf / ASSUMED_REF_GPU_RTF, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,56 @@ def convert_hifigan(sd: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def convert_sidekit(sd: Dict[str, Any], arch: str = "ecapa") -> Dict[str, Any]:
+    """Reference ASV tuning net state_dict -> satpu x-vector variables.
+
+    Handles: BN running stats -> batch_stats {mean, var}; torch Sequential
+    indices -> flax scope names (SERes2Block children become ``block_i``,
+    ResNet stage children keep their integer names); the reference's
+    before_speaker_embedding Sequential(lin, bn2) flattens to
+    ``before_speaker_embedding_<name>`` scopes. Parameter-free preprocessor /
+    spec_augment buffers are dropped (satpu implements them functionally).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    for k, t in sd.items():
+        if k.startswith(("preprocessor.", "spec_augment.")):
+            continue
+        arr = _np(t).astype(np.float32)
+        parts = k.split(".")
+        is_stat = parts[-1] in ("running_mean", "running_var")
+        if parts[-1] == "num_batches_tracked":
+            continue
+        path = []
+        i = 0
+        while i < len(parts) - 1:
+            p = parts[i]
+            nxt = parts[i + 1] if i + 1 < len(parts) - 1 else None
+            if p == "before_speaker_embedding" and nxt is not None:
+                path.append(f"before_speaker_embedding_{parts[i + 1]}")
+                i += 2
+                continue
+            if nxt is not None and nxt.isdigit():
+                if arch == "ecapa" and p in ("layer2", "layer3", "layer4"):
+                    path.append(p)
+                    path.append(f"block_{nxt}")
+                elif p.startswith("layer") and arch != "ecapa":
+                    path.append(p)
+                    path.append(nxt)
+                else:
+                    path.append(f"{p}_{nxt}")
+                i += 2
+                continue
+            path.append(p)
+            i += 1
+        leaf = parts[-1]
+        if is_stat:
+            _set(stats, tuple(path) + ({"running_mean": "mean", "running_var": "var"}[leaf],), arr)
+        else:
+            _set(params, tuple(path) + (leaf,), arr)
+    return {"params": params, "batch_stats": stats}
+
+
 def conv1d_weight_to_nwc(w: np.ndarray) -> np.ndarray:
     """torch Conv1d [out, in, k] -> flax [k, in, out]."""
     return np.transpose(w, (2, 1, 0))

@@ -1,0 +1,92 @@
+"""X-vector speaker-embedding models (reference egs/asv/voxceleb tuning nets).
+
+- ``EcapaXVector``: MelSpecFrontEnd -> SpecAugment -> PreEcapaTDNN ->
+  AttentiveStatsPool -> 192-d embedding -> ArcMargin(s=30, m=0.2; 0.4 in
+  fine-tune) (tuning/ecapa_tdnn.py:22-88).
+- ``ResNetXVector``: PreHalfResNet34 -> AttentivePooling(global context) ->
+  256-d embedding -> ArcMargin (tuning/resnet.py:34-76).
+
+forward(x, target) returns ((loss, logits), x_vector) like the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.torchlayers import BatchNorm, Linear
+from .archi import PreEcapaTDNN, PreHalfResNet34
+from .loss import ArcMarginProduct
+from .pooling import AttentivePooling, AttentiveStatsPool
+from .preprocessor import mel_spec_frontend, spec_masking
+
+
+def _normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+@dataclasses.dataclass(frozen=True)
+class XVectorConfig:
+    num_speakers: int = 1211
+    n_mels: int = 80
+    arch: str = "ecapa"  # "ecapa" | "resnet"
+    channels: int = 512
+    embedding_size: int = 192  # 256 for resnet
+    arc_s: float = 30.0
+    arc_m: float = 0.2
+    spec_augment: bool = True
+
+
+class EcapaXVector(nn.Module):
+    cfg: XVectorConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray, target: Optional[jnp.ndarray] = None,
+                 train: bool = False, arc_m: Optional[float] = None):
+        c = self.cfg
+        x = mel_spec_frontend(wav, n_mels=c.n_mels)  # [B, T, F]
+        if train and c.spec_augment:
+            x = spec_masking(x, self.make_rng("augment"))
+        x = PreEcapaTDNN(c.n_mels, c.channels, name="sequence_network")(x, train=train)
+        x = AttentiveStatsPool(c.channels * 3, 128, name="stat_pooling")(x)
+        x = Linear(c.channels * 3 * 2, c.embedding_size, use_bias=False,
+                   name="before_speaker_embedding_lin")(x)
+        x = BatchNorm(c.embedding_size, name="before_speaker_embedding_bn2")(x, train=train)
+        x_vector = _normalize(x, axis=1)
+        loss, logits = ArcMarginProduct(
+            c.embedding_size, c.num_speakers, s=c.arc_s, m=c.arc_m,
+            name="after_speaker_embedding")(x, target=target, m=arc_m)
+        return (loss, logits), x_vector
+
+
+class ResNetXVector(nn.Module):
+    cfg: XVectorConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray, target: Optional[jnp.ndarray] = None,
+                 train: bool = False, arc_m: Optional[float] = None):
+        c = self.cfg
+        x = mel_spec_frontend(wav, n_mels=c.n_mels)
+        if train and c.spec_augment:
+            x = spec_masking(x, self.make_rng("augment"))
+        x = PreHalfResNet34(name="sequence_network")(x, train=train)  # [B, F', T', 256]
+        x = AttentivePooling(256, 10, global_context=True, name="stat_pooling")(x, train=train)
+        x = Linear(5120, c.embedding_size, use_bias=False,
+                   name="before_speaker_embedding_lin_be")(x)
+        x = BatchNorm(c.embedding_size, name="before_speaker_embedding_bn_be")(x, train=train)
+        x_vector = _normalize(x, axis=1)
+        loss, logits = ArcMarginProduct(
+            c.embedding_size, c.num_speakers, s=c.arc_s, m=c.arc_m,
+            name="after_speaker_embedding")(x, target=target, m=arc_m)
+        return (loss, logits), x_vector
+
+
+def build_xvector(cfg: XVectorConfig):
+    if cfg.arch == "ecapa":
+        return EcapaXVector(cfg)
+    if cfg.arch == "resnet":
+        return ResNetXVector(dataclasses.replace(cfg, embedding_size=256))
+    raise ValueError(cfg.arch)
