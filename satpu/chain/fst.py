@@ -1,0 +1,273 @@
+"""Weighted FST support for LF-MMI training (replaces the reference's Kaldi
+C++ binding layer csrc/fst.cc + csrc/chain.cc graph plumbing).
+
+Provides:
+- an in-memory ``Fst`` (tropical/log weights as -log probs, standard arcs),
+- OpenFst-compatible binary read/write (VectorFst<StdArc>, the format kaldi's
+  den.fst / normalization.fst / per-utt numerator FSTs use) so graphs
+  prepared with kaldi tooling load directly,
+- text-format (AT&T) parsing for tests and graph construction,
+- conversion to flat arc arrays for the batched TPU forward-backward
+  (satpu.chain.objf).
+"""
+from __future__ import annotations
+
+import io
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+OPENFST_MAGIC = 2125659606  # 0x7eb2fdd6
+INF = float("inf")
+
+
+@dataclass
+class Arc:
+    ilabel: int
+    olabel: int
+    weight: float  # -log prob (tropical/log semiring value)
+    nextstate: int
+
+
+@dataclass
+class Fst:
+    """Simple mutable FST; state 0-based; final weights -log prob (inf = not final)."""
+
+    arcs: List[List[Arc]] = field(default_factory=list)
+    finals: List[float] = field(default_factory=list)
+    start: int = 0
+
+    def add_state(self) -> int:
+        self.arcs.append([])
+        self.finals.append(INF)
+        return len(self.arcs) - 1
+
+    def add_arc(self, state: int, arc: Arc) -> None:
+        self.arcs[state].append(arc)
+
+    def set_final(self, state: int, weight: float = 0.0) -> None:
+        self.finals[state] = weight
+
+    @property
+    def num_states(self) -> int:
+        return len(self.arcs)
+
+    @property
+    def num_arcs(self) -> int:
+        return sum(len(a) for a in self.arcs)
+
+    # ------------------------------------------------------------------
+    # text format (AT&T): "src dst ilabel olabel [weight]" / "state [weight]"
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_text(cls, text: str) -> "Fst":
+        fst = cls()
+
+        def ensure(n):
+            while fst.num_states <= n:
+                fst.add_state()
+
+        for line in text.strip().splitlines():
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) >= 4:
+                src, dst, il, ol = int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3])
+                w = float(parts[4]) if len(parts) > 4 else 0.0
+                ensure(max(src, dst))
+                fst.add_arc(src, Arc(il, ol, w, dst))
+            else:
+                s = int(parts[0])
+                w = float(parts[1]) if len(parts) > 1 else 0.0
+                ensure(s)
+                fst.set_final(s, w)
+        return fst
+
+    def to_text(self) -> str:
+        out = []
+        for s, arcs in enumerate(self.arcs):
+            for a in arcs:
+                out.append(f"{s}\t{a.nextstate}\t{a.ilabel}\t{a.olabel}\t{a.weight}")
+        for s, w in enumerate(self.finals):
+            if w != INF:
+                out.append(f"{s}\t{w}")
+        return "\n".join(out)
+
+    # ------------------------------------------------------------------
+    # OpenFst binary (VectorFst<StdArc>)
+    # ------------------------------------------------------------------
+
+    def write_binary(self, f) -> None:
+        def wstr(s: str):
+            f.write(struct.pack("<i", len(s)))
+            f.write(s.encode())
+
+        f.write(struct.pack("<i", OPENFST_MAGIC))
+        wstr("vector")
+        wstr("standard")
+        f.write(struct.pack("<i", 2))  # version
+        f.write(struct.pack("<i", 0))  # flags
+        f.write(struct.pack("<Q", 0))  # properties
+        f.write(struct.pack("<q", self.start))
+        f.write(struct.pack("<q", self.num_states))
+        f.write(struct.pack("<q", self.num_arcs))
+        for s in range(self.num_states):
+            w = self.finals[s]
+            f.write(struct.pack("<f", w if w != INF else np.float32(np.inf)))
+            f.write(struct.pack("<q", len(self.arcs[s])))
+            for a in self.arcs[s]:
+                f.write(struct.pack("<iifi", a.ilabel, a.olabel, a.weight, a.nextstate))
+
+    @classmethod
+    def read_binary(cls, f) -> "Fst":
+        magic = struct.unpack("<i", f.read(4))[0]
+        assert magic == OPENFST_MAGIC, f"bad OpenFst magic {magic}"
+
+        def rstr():
+            n = struct.unpack("<i", f.read(4))[0]
+            return f.read(n).decode()
+
+        fsttype = rstr()
+        arctype = rstr()
+        assert arctype == "standard", f"unsupported arc type {arctype}"
+        version = struct.unpack("<i", f.read(4))[0]
+        _flags = struct.unpack("<i", f.read(4))[0]
+        _props = struct.unpack("<Q", f.read(8))[0]
+        start = struct.unpack("<q", f.read(8))[0]
+        num_states = struct.unpack("<q", f.read(8))[0]
+        _num_arcs = struct.unpack("<q", f.read(8))[0]
+        if fsttype == "const":
+            return cls._read_const_body(f, start, num_states)
+        fst = cls()
+        for _ in range(max(num_states, 0)):
+            fst.add_state()
+        fst.start = max(start, 0)
+        for s in range(max(num_states, 0)):
+            w = struct.unpack("<f", f.read(4))[0]
+            fst.finals[s] = w if np.isfinite(w) else INF
+            narcs = struct.unpack("<q", f.read(8))[0]
+            if narcs > 0:
+                raw = np.frombuffer(f.read(16 * narcs), dtype=np.uint8).reshape(narcs, 16)
+                il = raw[:, 0:4].copy().view("<i4")[:, 0]
+                ol = raw[:, 4:8].copy().view("<i4")[:, 0]
+                wt = raw[:, 8:12].copy().view("<f4")[:, 0]
+                ns = raw[:, 12:16].copy().view("<i4")[:, 0]
+                fst.arcs[s] = [Arc(int(a), int(b), float(c), int(d))
+                               for a, b, c, d in zip(il, ol, wt, ns)]
+        return fst
+
+    @classmethod
+    def _read_const_body(cls, f, start, num_states) -> "Fst":
+        raise NotImplementedError("const fst bodies not yet supported; use fstconvert")
+
+    def write(self, path: str) -> None:
+        with open(path, "wb") as f:
+            self.write_binary(f)
+
+    @classmethod
+    def read(cls, path: str) -> "Fst":
+        with open(path, "rb") as f:
+            return cls.read_binary(f)
+
+
+def read_fst_kaldi(f) -> Fst:
+    """Read a kaldi-wrapped FST (binary header \\0B + openfst binary)."""
+    pos = f.tell()
+    hdr = f.read(2)
+    if hdr != b"\0B":
+        f.seek(pos)
+    return Fst.read_binary(f)
+
+
+# ---------------------------------------------------------------------------
+# flat arc arrays for batched TPU forward-backward
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GraphArrays:
+    """Flattened transition tables of one FST for the dense recursion.
+
+    Labels follow the chain convention: ilabel = pdf-id + 1 (0 = epsilon).
+    Weights are stored as log-probs (negated OpenFst weights).
+    """
+
+    num_states: int
+    arc_src: np.ndarray  # [E] int32
+    arc_dst: np.ndarray  # [E] int32
+    arc_pdf: np.ndarray  # [E] int32 (pdf-id, -1 for epsilon)
+    arc_logprob: np.ndarray  # [E] float32 (log prob)
+    start_logprob: np.ndarray  # [S] (0 at start state, -inf elsewhere)
+    final_logprob: np.ndarray  # [S]
+
+
+def fst_to_arrays(fst: Fst, label_offset: int = 1) -> GraphArrays:
+    srcs, dsts, pdfs, ws = [], [], [], []
+    for s, arcs in enumerate(fst.arcs):
+        for a in arcs:
+            srcs.append(s)
+            dsts.append(a.nextstate)
+            pdfs.append(a.ilabel - label_offset if a.ilabel > 0 else -1)
+            ws.append(-a.weight)
+    start = np.full(fst.num_states, -np.inf, dtype=np.float32)
+    start[fst.start] = 0.0
+    final = np.array([-w if w != INF else -np.inf for w in fst.finals], dtype=np.float32)
+    return GraphArrays(
+        num_states=fst.num_states,
+        arc_src=np.asarray(srcs, dtype=np.int32),
+        arc_dst=np.asarray(dsts, dtype=np.int32),
+        arc_pdf=np.asarray(pdfs, dtype=np.int32),
+        arc_logprob=np.asarray(ws, dtype=np.float32),
+        start_logprob=start,
+        final_logprob=final,
+    )
+
+
+def pad_graph_arrays(graphs: List[GraphArrays]) -> Dict[str, np.ndarray]:
+    """Pad a list of per-utterance graphs to common (S, E) for batching.
+
+    Padding arcs point from the last padded state to itself with -inf weight.
+    Returns stacked arrays (dict of [B, ...]).
+    """
+    S = max(g.num_states for g in graphs)
+    E = max(len(g.arc_src) for g in graphs)
+    B = len(graphs)
+    out = {
+        "arc_src": np.zeros((B, E), np.int32),
+        "arc_dst": np.zeros((B, E), np.int32),
+        "arc_pdf": np.zeros((B, E), np.int32),
+        "arc_logprob": np.full((B, E), -np.inf, np.float32),
+        "start_logprob": np.full((B, S), -np.inf, np.float32),
+        "final_logprob": np.full((B, S), -np.inf, np.float32),
+        "num_states": np.zeros((B,), np.int32),
+    }
+    for i, g in enumerate(graphs):
+        e = len(g.arc_src)
+        out["arc_src"][i, :e] = g.arc_src
+        out["arc_dst"][i, :e] = g.arc_dst
+        out["arc_pdf"][i, :e] = np.maximum(g.arc_pdf, 0)
+        out["arc_logprob"][i, :e] = g.arc_logprob
+        out["start_logprob"][i, : g.num_states] = g.start_logprob
+        out["final_logprob"][i, : g.num_states] = g.final_logprob
+        out["num_states"][i] = g.num_states
+        # padding arcs: self-loop on state 0 with -inf weight (already -inf)
+    return out
+
+
+def linear_fst_from_pdf_sequence(pdf_ids, self_loops: bool = True) -> Fst:
+    """A trivial numerator-style FST accepting the given pdf sequence (with
+    optional self-loops), for tests and toy training."""
+    fst = Fst()
+    s0 = fst.add_state()
+    cur = s0
+    for pdf in pdf_ids:
+        nxt = fst.add_state()
+        fst.add_arc(cur, Arc(int(pdf) + 1, int(pdf) + 1, 0.0, nxt))
+        if self_loops:
+            fst.add_arc(nxt, Arc(int(pdf) + 1, int(pdf) + 1, 0.0, nxt))
+        cur = nxt
+    fst.set_final(cur, 0.0)
+    return fst
