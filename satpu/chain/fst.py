@@ -21,6 +21,8 @@ import numpy as np
 
 OPENFST_MAGIC = 2125659606  # 0x7eb2fdd6
 INF = float("inf")
+# finite stand-in for log(0): keeps autodiff NaN-free (exp(-1e30) == 0)
+NEG_INF = -1.0e30
 
 
 @dataclass
@@ -212,9 +214,9 @@ def fst_to_arrays(fst: Fst, label_offset: int = 1) -> GraphArrays:
             dsts.append(a.nextstate)
             pdfs.append(a.ilabel - label_offset if a.ilabel > 0 else -1)
             ws.append(-a.weight)
-    start = np.full(fst.num_states, -np.inf, dtype=np.float32)
+    start = np.full(fst.num_states, NEG_INF, dtype=np.float32)
     start[fst.start] = 0.0
-    final = np.array([-w if w != INF else -np.inf for w in fst.finals], dtype=np.float32)
+    final = np.array([-w if w != INF else NEG_INF for w in fst.finals], dtype=np.float32)
     return GraphArrays(
         num_states=fst.num_states,
         arc_src=np.asarray(srcs, dtype=np.int32),
@@ -239,9 +241,9 @@ def pad_graph_arrays(graphs: List[GraphArrays]) -> Dict[str, np.ndarray]:
         "arc_src": np.zeros((B, E), np.int32),
         "arc_dst": np.zeros((B, E), np.int32),
         "arc_pdf": np.zeros((B, E), np.int32),
-        "arc_logprob": np.full((B, E), -np.inf, np.float32),
-        "start_logprob": np.full((B, S), -np.inf, np.float32),
-        "final_logprob": np.full((B, S), -np.inf, np.float32),
+        "arc_logprob": np.full((B, E), NEG_INF, np.float32),
+        "start_logprob": np.full((B, S), NEG_INF, np.float32),
+        "final_logprob": np.full((B, S), NEG_INF, np.float32),
         "num_states": np.zeros((B,), np.int32),
     }
     for i, g in enumerate(graphs):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fst import Fst, GraphArrays, fst_to_arrays
+from .fst import NEG_INF as FST_NEG_INF, Fst, GraphArrays, fst_to_arrays
 
 NEG_INF = -1e30
 

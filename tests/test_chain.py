@@ -140,7 +140,13 @@ def test_fst_binary_roundtrip_and_text(tmp_path):
     fst.write(p)
     fst2 = Fst.read(p)
     assert fst2.num_states == fst.num_states
-    assert fst2.to_text() == fst.to_text()
+    assert fst2.start == fst.start
+    for s in range(fst.num_states):
+        np.testing.assert_allclose(fst2.finals[s], fst.finals[s], rtol=1e-6)
+        assert len(fst2.arcs[s]) == len(fst.arcs[s])
+        for a, b in zip(fst.arcs[s], fst2.arcs[s]):
+            assert (a.ilabel, a.olabel, a.nextstate) == (b.ilabel, b.olabel, b.nextstate)
+            np.testing.assert_allclose(a.weight, b.weight, rtol=1e-6)
 
     fst3 = Fst.from_text(fst.to_text())
     assert fst3.to_text() == fst.to_text()
