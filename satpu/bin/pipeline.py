@@ -1,0 +1,158 @@
+"""Anonymization pipeline over a kaldi-style data dir (reference
+satools/bin/pipeline.py, redesigned TPU-first).
+
+Where the reference fans out one process per GPU slot with per-worker YAAPT
+on CPU (bin/anonymize:82-93, pipeline.py:26-41), satpu buckets utterances by
+length into a handful of padded static shapes, runs F0 + BN + HiFi-GAN as one
+fused jitted graph per bucket on the chip, and overlaps host-side WAV writing
+with device compute via a writer thread pool.
+
+Target-selection algorithms are ported 1:1 (pipeline.py:110-143):
+constant | none | bad_for_evaluation | random_per_utt | random_per_spk_uniq |
+random_per_spk.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..utils import kaldi_data
+
+DEFAULT_BUCKETS = (16000, 32000, 48000, 64000, 96000, 128000, 160000, 240000, 320000)
+
+
+def select_targets(utids: Sequence[str], algorithm: str, possible_targets: List[str],
+                   source_utt2spk: Dict[str, str], state: Dict[str, object],
+                   constant_spkid: str = "", rng: Optional[random.Random] = None) -> List[str]:
+    """One batch of target speaker ids (pipeline.py:110-143)."""
+    rng = rng or random
+    out_spk2target = state.setdefault("out_spk2target", {})
+    targets: List[str] = []
+    if algorithm == "constant":
+        targets = [constant_spkid] * len(utids)
+    elif algorithm == "none":
+        targets = []
+    elif algorithm == "bad_for_evaluation":
+        for ut in utids:
+            spk = source_utt2spk[ut]
+            if spk not in out_spk2target:
+                out_spk2target[spk] = rng.sample(possible_targets, 2)
+            targets.append(rng.choice(out_spk2target[spk]))
+    elif algorithm == "random_per_utt":
+        targets = [rng.choice(possible_targets) for _ in utids]
+    elif algorithm == "random_per_spk_uniq":
+        remaining = state.setdefault("remaining_targets", list(possible_targets))
+        for ut in utids:
+            spk = source_utt2spk[ut]
+            if spk not in out_spk2target:
+                choice = rng.choice(remaining)
+                out_spk2target[spk] = choice
+                remaining.remove(choice)
+            targets.append(out_spk2target[spk])
+    elif algorithm == "random_per_spk":
+        for ut in utids:
+            spk = source_utt2spk[ut]
+            if spk not in out_spk2target:
+                out_spk2target[spk] = rng.choice(possible_targets)
+            targets.append(out_spk2target[spk])
+    else:
+        raise ValueError(f"{algorithm} not implemented")
+    return targets
+
+
+def bucket_for(length: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+def process_data(model, variables, speakers: List[str], data_dir: str, results_dir: str,
+                 target_selection_algorithm: str = "constant",
+                 target_constant_spkid: str = "", batch_size: int = 8,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS, f0_transformation: str = "",
+                 seed: int = 0, new_datadir_suffix: str = "_anon",
+                 progress_cb=None) -> str:
+    """Anonymize every utterance of ``data_dir``; returns the new data dir.
+
+    model: AnonymizationNet; variables: its flax variables; speakers: ordered
+    target speaker list (index = one-hot id).
+    """
+    rng = random.Random(seed)
+    out_dir = data_dir.rstrip("/") + new_datadir_suffix
+    kaldi_data.copy_data_dir(data_dir, out_dir)
+    os.makedirs(results_dir, exist_ok=True)
+
+    utt2wav = kaldi_data.read_wav_scp(os.path.join(data_dir, "wav.scp"))
+    utt2spk_path = os.path.join(data_dir, "utt2spk")
+    source_utt2spk = (kaldi_data.read_keyed_text(utt2spk_path)
+                      if os.path.exists(utt2spk_path) else {u: u for u in utt2wav})
+
+    spk_index = {s: i for i, s in enumerate(speakers)}
+    state: Dict[str, object] = {}
+
+    # ---- load lengths and group into padded buckets ----
+    entries = []
+    for utt, wavspec in utt2wav.items():
+        wav, rate = kaldi_data.load_wav_from_scp(wavspec)
+        entries.append((utt, wav[0], rate))
+    entries.sort(key=lambda e: len(e[1]))
+
+    @jax.jit
+    def convert(wav_batch, target_ids, f0_key):
+        f0 = model.get_f0(wav_batch)
+        return model.apply(variables, wav_batch, f0, target_ids,
+                           method=model.convert, f0_key=f0_key)
+
+    new_wav_scp: Dict[str, str] = {}
+    writer = ThreadPoolExecutor(max_workers=4)
+    pending = []
+    key = jax.random.PRNGKey(seed)
+
+    def write_batch(utids, wavs, lens, rate):
+        for u, w, l in zip(utids, wavs, lens):
+            out = os.path.join(results_dir, f"{u}.wav")
+            kaldi_data.write_wav(out, np.asarray(w[:l], dtype=np.float32), rate)
+            new_wav_scp[u] = out
+
+    done = 0
+    i = 0
+    while i < len(entries):
+        batch = entries[i : i + batch_size]
+        i += len(batch)
+        utids = [e[0] for e in batch]
+        rate = batch[0][2]
+        maxlen = max(len(e[1]) for e in batch)
+        bucket = bucket_for(maxlen, buckets)
+        wav_batch = np.zeros((len(batch), bucket), np.float32)
+        lens = []
+        for j, (_, w, _) in enumerate(batch):
+            wav_batch[j, : len(w)] = w
+            lens.append(len(w))
+        targets = select_targets(utids, target_selection_algorithm, list(speakers),
+                                 source_utt2spk, state, target_constant_spkid, rng)
+        if targets:
+            tids = np.asarray([spk_index[t] for t in targets], np.int32)
+        else:
+            tids = np.zeros((len(batch),), np.int32)
+        key, sub = jax.random.split(key)
+        out = convert(wav_batch, tids, sub)
+        out = np.asarray(out)
+        pending.append(writer.submit(write_batch, utids, out, lens, rate))
+        done += len(batch)
+        if progress_cb:
+            progress_cb(done, len(entries))
+
+    for p in pending:
+        p.result()
+    writer.shutdown()
+    kaldi_data.write_keyed_text(new_wav_scp, os.path.join(out_dir, "wav.scp"))
+    logging.info("anonymized %d utterances -> %s", len(new_wav_scp), out_dir)
+    return out_dir

@@ -1,0 +1,97 @@
+"""End-to-end anonymize pipeline test with a tiny model + synthetic data dir."""
+import os
+
+import numpy as np
+import pytest
+
+
+def _tiny_anon_checkpoint(tmp_path):
+    import jax
+
+    from satpu import infer_helper
+    from satpu.models.anonymizer import AnonymizationNet, AnonymizerConfig
+    from satpu.models.asrbn import TDNNFNetConfig
+
+    asrbn = dict(output_dim=16, hidden_dim=16, bottleneck_dim=8,
+                 prefinal_bottleneck_dim=8)
+    cfg = AnonymizerConfig(asrbn=TDNNFNetConfig(**asrbn), num_speakers=3, bn_dim=8)
+    model = AnonymizationNet(cfg)
+    wav = np.zeros((1, 16000), np.float32)
+    f0 = np.zeros((1, 51), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), wav, f0, np.zeros((1,), np.int32),
+                           method=model.convert)
+    path = str(tmp_path / "anon.ckpt")
+    infer_helper.save_model(
+        path, "anonymizer_tdnnf_hifigan",
+        {"asrbn": asrbn, "num_speakers": 3, "bn_dim": 8},
+        variables, extra_meta={"speakers": ["spkA", "spkB", "spkC"]})
+    return path
+
+
+def _make_data_dir(tmp_path, n_utts=5):
+    from satpu.utils import kaldi_data
+
+    d = str(tmp_path / "data")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    wav_scp, utt2spk = {}, {}
+    for i in range(n_utts):
+        T = 8000 + 3000 * i
+        x = (np.sin(np.linspace(0, 200 + 40 * i, T)) * 0.3).astype(np.float32)
+        p = str(tmp_path / f"u{i}.wav")
+        kaldi_data.write_wav(p, x, 16000)
+        wav_scp[f"utt{i}"] = p
+        utt2spk[f"utt{i}"] = f"src{i % 2}"
+    kaldi_data.write_keyed_text(wav_scp, os.path.join(d, "wav.scp"))
+    kaldi_data.write_keyed_text(utt2spk, os.path.join(d, "utt2spk"))
+    return d
+
+
+def test_select_targets_algorithms():
+    import random
+
+    from satpu.bin.pipeline import select_targets
+
+    utids = [f"u{i}" for i in range(6)]
+    utt2spk = {u: f"s{i % 3}" for i, u in enumerate(utids)}
+    targets = ["a", "b", "c", "d"]
+    rng = random.Random(0)
+
+    out = select_targets(utids, "constant", targets, utt2spk, {}, "b", rng)
+    assert out == ["b"] * 6
+    assert select_targets(utids, "none", targets, utt2spk, {}, rng=rng) == []
+    state = {}
+    out = select_targets(utids, "random_per_spk", targets, utt2spk, state, rng=rng)
+    by_spk = {}
+    for u, t in zip(utids, out):
+        by_spk.setdefault(utt2spk[u], set()).add(t)
+    assert all(len(v) == 1 for v in by_spk.values())
+    state = {}
+    out = select_targets(utids, "random_per_spk_uniq", targets, utt2spk, state, rng=rng)
+    spk_targets = {utt2spk[u]: t for u, t in zip(utids, out)}
+    assert len(set(spk_targets.values())) == len(spk_targets)
+    with pytest.raises(ValueError):
+        select_targets(utids, "bogus", targets, utt2spk, {})
+
+
+def test_pipeline_end_to_end(tmp_path):
+    from satpu import infer_helper
+    from satpu.bin.pipeline import process_data
+    from satpu.utils import kaldi_data
+
+    ckpt = _tiny_anon_checkpoint(tmp_path)
+    data_dir = _make_data_dir(tmp_path)
+    model, variables, meta = infer_helper.load_model(ckpt)
+    out_dir = process_data(
+        model, variables, meta["speakers"], data_dir,
+        str(tmp_path / "wavs"), target_selection_algorithm="random_per_utt",
+        batch_size=2, buckets=(8000, 16000, 24000))
+    scp = kaldi_data.read_wav_scp(os.path.join(out_dir, "wav.scp"))
+    assert len(scp) == 5
+    for utt, p in scp.items():
+        wav, rate = kaldi_data.load_wav_from_scp(p)
+        assert rate == 16000
+        assert wav.shape[1] > 4000
+        assert np.isfinite(wav).all()
+    # utt2spk copied over
+    assert os.path.exists(os.path.join(out_dir, "utt2spk"))
