@@ -1,0 +1,172 @@
+"""LF-MMI egs pipeline (reference satools/satools/chain/dataset.py).
+
+- ``EgsInfo`` / ``EgsDataset``: wav.scp + per-utterance numerator FSTs
+  (fst scp -> kaldi-wrapped OpenFst binaries) + utt2len (dataset.py:22-272),
+- exact-length ``BucketBatchSampler``: batches hold only utterances with the
+  same output frame count (dataset.py:109-135) — the reference's
+  allowed-lengths preprocessing snaps utterances to 12 lengths, giving a tiny
+  set of static shapes: XLA compiles one program per bucket,
+- optional on-the-fly waveform augmentation (dataset.py:167-205),
+- minimum-path frame check: utterances whose numerator FST needs more frames
+  than the model emits are rejected (FindMinimumLengthPathFromFst equivalent,
+  csrc/chain.cc:588-630 / dataset.py:247).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import random
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.augment import data_augmentation
+from ..utils import kaldi_data
+from .fst import Fst, fst_to_arrays, pad_graph_arrays, read_fst_kaldi
+
+
+def fst_min_path_length(fst: Fst) -> int:
+    """Minimum number of emitting arcs from start to a final state (BFS over
+    epsilon-free graph) — FindMinimumLengthPathFromFst."""
+    from collections import deque
+
+    INF = 1 << 30
+    dist = [INF] * fst.num_states
+    dist[fst.start] = 0
+    q = deque([fst.start])
+    while q:
+        s = q.popleft()
+        for a in fst.arcs[s]:
+            nd = dist[s] + (1 if a.ilabel > 0 else 0)
+            if nd < dist[a.nextstate]:
+                dist[a.nextstate] = nd
+                q.append(a.nextstate)
+    best = INF
+    for s, w in enumerate(fst.finals):
+        if w != float("inf"):
+            best = min(best, dist[s])
+    return best
+
+
+@dataclass
+class EgsInfo:
+    utt: str
+    wavspec: str
+    fst_rx: str  # "path:offset" into the fst ark
+    num_samples: int
+
+    def load_fst(self) -> Fst:
+        if ":" in self.fst_rx and self.fst_rx.rsplit(":", 1)[1].isdigit():
+            path, off = self.fst_rx.rsplit(":", 1)
+            with open(path, "rb") as f:
+                f.seek(int(off))
+                return read_fst_kaldi(f)
+        with open(self.fst_rx, "rb") as f:
+            return read_fst_kaldi(f)
+
+
+class EgsDataset:
+    """Numerator-supervised utterances grouped by exact output length."""
+
+    def __init__(self, wav_scp: str, fst_scp: str, utt2len: str,
+                 frame_subsampling: int = 3, samples_per_frame: int = 160,
+                 transform_pipeline: Optional[Dict] = None,
+                 noise_db=None, rir_db=None, seed: int = 42):
+        self.samples_per_frame = samples_per_frame
+        self.frame_subsampling = frame_subsampling
+        self.transform_pipeline = transform_pipeline
+        self.noise_db = noise_db
+        self.rir_db = rir_db
+        self.rng = random.Random(seed)
+        utt2wav = kaldi_data.read_wav_scp(wav_scp)
+        utt2fst = kaldi_data.read_wav_scp(fst_scp)
+        u2l = kaldi_data.read_utt2len_file(utt2len)
+        self.egs: List[EgsInfo] = []
+        for utt, wavspec in utt2wav.items():
+            if utt not in utt2fst or utt not in u2l:
+                continue
+            self.egs.append(EgsInfo(utt, wavspec, utt2fst[utt], u2l[utt]))
+        self.utt_index = {e.utt: i for i, e in enumerate(self.egs)}
+
+    def output_frames(self, num_samples: int) -> int:
+        """Network output length for a given sample count (fbank
+        snip_edges=False -> /160, then /subsampling with ceil)."""
+        feats = (num_samples + 80) // 160
+        return (feats + self.frame_subsampling - 1) // self.frame_subsampling
+
+    def filter_min_path(self) -> int:
+        """Drop utterances whose numerator FST cannot fit the frame count
+        (dataset.py:247). Returns number removed."""
+        keep = []
+        removed = 0
+        for e in self.egs:
+            min_len = fst_min_path_length(e.load_fst())
+            if min_len <= self.output_frames(e.num_samples):
+                keep.append(e)
+            else:
+                removed += 1
+        self.egs = keep
+        self.utt_index = {e.utt: i for i, e in enumerate(self.egs)}
+        return removed
+
+    def __len__(self) -> int:
+        return len(self.egs)
+
+    def load_batch(self, indices: List[int]):
+        """-> (wav [B, T], num_graphs dict, num_frames [B], utts)."""
+        egs = [self.egs[i] for i in indices]
+        T = max(e.num_samples for e in egs)
+        wavs = np.zeros((len(egs), T), np.float32)
+        frames = []
+        graphs = []
+        for j, e in enumerate(egs):
+            wav, _ = kaldi_data.load_wav_from_scp(e.wavspec)
+            x = wav[0][:T]
+            if self.transform_pipeline:
+                x = data_augmentation(x[None, :], self.transform_pipeline, 16000,
+                                      self.noise_db, self.rir_db, rng=self.rng)[0][:T]
+            wavs[j, : len(x)] = x
+            frames.append(self.output_frames(e.num_samples))
+            graphs.append(fst_to_arrays(e.load_fst()))
+        return (wavs, pad_graph_arrays(graphs),
+                np.asarray(frames, np.int32), [e.utt for e in egs])
+
+
+class BucketBatchSampler:
+    """Exact-length bucketing (dataset.py:109-135): every batch contains only
+    utterances with identical ``num_output_frames`` (or length//199 groups
+    with ``allow_some_padding``)."""
+
+    def __init__(self, dataset: EgsDataset, batch_size: int,
+                 allow_some_padding: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.epoch = 0
+        self.buckets: Dict[int, List[int]] = {}
+        for i, e in enumerate(dataset.egs):
+            key = (e.num_samples // 199 if allow_some_padding
+                   else dataset.output_frames(e.num_samples))
+            self.buckets.setdefault(key, []).append(i)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[List[int]]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        batches = []
+        for key in sorted(self.buckets):
+            idxs = list(self.buckets[key])
+            rng.shuffle(idxs)
+            for i in range(0, len(idxs), self.batch_size):
+                b = idxs[i : i + self.batch_size]
+                if b:
+                    batches.append(b)
+        order = rng.permutation(len(batches))
+        for i in order:
+            yield batches[int(i)]
+
+    def __len__(self) -> int:
+        return sum((len(v) + self.batch_size - 1) // self.batch_size
+                   for v in self.buckets.values())

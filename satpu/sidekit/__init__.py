@@ -6,3 +6,5 @@ from . import preprocessor  # noqa: F401
 from . import scoring  # noqa: F401
 from . import xvector  # noqa: F401
 from .xvector import EcapaXVector, ResNetXVector, XVectorConfig, build_xvector  # noqa: F401
+from . import dataset  # noqa: F401
+from . import trainer  # noqa: F401
