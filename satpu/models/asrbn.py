@@ -162,3 +162,99 @@ class TDNNFNet(nn.Module):
 def build_tdnnf_net(**kwargs) -> Tuple[TDNNFNet, TDNNFNetConfig]:
     cfg = TDNNFNetConfig(**kwargs)
     return TDNNFNet(cfg), cfg
+
+
+class Wav2Vec2TDNNFNet(nn.Module):
+    """wav2vec2-fronted chain net (tuning/tdnnf_wav2vec2_vq.py:29-345).
+
+    wav2vec2 last-layer features (+1 replicate-padded frame so the effective
+    downsampling is /320) -> 3-layer stage-1 TDNNF (kernels [3,3,3], last is
+    the BN layer with optional VQ) -> /1.5 stage-2 [1,3,3,3] -> chain/xent
+    heads. Config reuses TDNNFNetConfig with num_mel_bins ignored.
+    """
+
+    cfg: TDNNFNetConfig
+    w2v2: Any  # Wav2Vec2Config
+
+    def setup(self):
+        from .wav2vec2 import Wav2Vec2Model
+
+        c = self.cfg
+        self.preprocessor = Wav2Vec2Model(self.w2v2, name="preprocessor")
+        ks, ss = list(c.kernel_size_list), list(c.subsampling_factor_list)
+        self.padding = get_padding(ks, ss) // 2
+        self.padding_after = get_padding(
+            list(c.kernel_size_list_after), list(c.subsampling_factor_list_after)) // 2
+        input_dim = self.w2v2.hidden_size
+
+        self.tdnn1 = TDNNFBatchNorm(
+            input_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
+            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0,
+            name="tdnn1")
+        layers = []
+        for i in range(1, len(ks) - 1):
+            layers.append(TDNNFBatchNorm(
+                c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
+                context_len=ks[i], subsampling_factor=ss[i],
+                orthonormal_constraint=-1.0, name=f"tdnnf{i}"))
+        bfunc = (VQBottleneck(c.codebook_size, c.prefinal_bottleneck_dim,
+                              name="vq_bottleneck") if c.bottleneck == "vq" else
+                 DpLaplaceBottleneck(c.epsilon, name="dp_bottleneck")
+                 if c.bottleneck == "dp" else None)
+        layers.append(TDNNFBatchNorm(
+            c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
+            context_len=ks[-1], subsampling_factor=ss[-1], orthonormal_constraint=-1.0,
+            bypass_scale=0.0, bottleneck_func=bfunc, name="tdnnf_bn"))
+        self.tdnnfs = layers
+        after = []
+        ksa, ssa = list(c.kernel_size_list_after), list(c.subsampling_factor_list_after)
+        for i in range(len(ksa)):
+            after.append(TDNNFBatchNorm(
+                c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
+                context_len=ksa[i], subsampling_factor=ssa[i],
+                orthonormal_constraint=-1.0, name=f"tdnnf_after{i}"))
+        self.tdnnfs_after = after
+        self.prefinal_chain = TDNNFBatchNorm(
+            c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
+            context_len=1, orthonormal_constraint=-1.0, name="prefinal_chain")
+        self.prefinal_xent = TDNNFBatchNorm(
+            c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
+            context_len=1, orthonormal_constraint=-1.0, name="prefinal_xent")
+        self.chain_output = NaturalAffineTransform(c.output_dim, name="chain_output")
+        self.xent_output = NaturalAffineTransform(c.output_dim, name="xent_output")
+
+    def features(self, wav: jnp.ndarray) -> jnp.ndarray:
+        x = self.preprocessor(wav)  # [B, T', 1024], /320 after padding below
+        x = jnp.concatenate([x, x[:, -1:, :]], axis=1)  # replicate-pad 1 frame
+        return pad_input_replicate(x, self.padding)
+
+    def __call__(self, wav: jnp.ndarray, train: bool = False):
+        x = self.features(wav)
+        x = self.tdnn1(x, train=train)
+        for layer in self.tdnnfs:
+            x = layer(x, train=train)
+        x = pad_input_replicate(x, self.padding_after)
+        for layer in self.tdnnfs_after:
+            x = layer(x, train=train)
+        chain_out = self.chain_output(self.prefinal_chain(x, train=train))
+        xent_out = self.xent_output(self.prefinal_xent(x, train=train))
+        return chain_out, jax.nn.log_softmax(xent_out, axis=2)
+
+    def extract_bn(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = self.features(wav)
+        x = self.tdnn1(x, train=train)
+        for layer in self.tdnnfs[:-1]:
+            x = layer(x, train=train)
+        return self.tdnnfs[-1](x, return_bottleneck=True, train=train)
+
+
+def wav2vec2_tdnnf_config(output_dim: int = 3280, bottleneck: str = "none",
+                          codebook_size: int = 0) -> TDNNFNetConfig:
+    """The tuning/tdnnf_wav2vec2*.py layout: kernels [3,3,3] / [1,3,3,3]."""
+    return TDNNFNetConfig(
+        output_dim=output_dim,
+        kernel_size_list=(3, 3, 3),
+        subsampling_factor_list=(1, 1, 1),
+        kernel_size_list_after=(1, 3, 3, 3),
+        subsampling_factor_list_after=(1.5, 1, 1, 1),
+        bottleneck=bottleneck, codebook_size=codebook_size)
