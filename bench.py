@@ -48,8 +48,14 @@ def main():
 
     n_f0 = len(range(280, T + 560 - 280, 320))
     f0_zeros = np.zeros((B, n_f0), np.float32)
-    variables = model.init(jax.random.PRNGKey(0), wav, f0_zeros, tid,
-                           method=model.convert)
+    # init host-side (device dispatch through the TPU tunnel is per-op slow),
+    # then transfer the parameter pytree in one hop
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), wav[:1], f0_zeros[:1], tid[:1],
+            method=model.convert))()
+        jax.block_until_ready(variables)
+    variables = jax.device_put(variables, jax.devices()[0])
 
     @jax.jit
     def convert(wav, tid):
