@@ -57,10 +57,15 @@ def main():
         jax.block_until_ready(variables)
     variables = jax.device_put(variables, jax.devices()[0])
 
-    @jax.jit
+    # two programs: XLA schedules the YAAPT DP scans poorly when fused into
+    # the conv pipeline (2x slower as one graph); as separate dispatches the
+    # device queue pipelines them across iterations.
+    f0_fn = jax.jit(model.get_f0)
+    convert_fn = jax.jit(
+        lambda w, f0, t: model.apply(variables, w, f0, t, method=model.convert))
+
     def convert(wav, tid):
-        f0 = model.get_f0(wav)
-        return model.apply(variables, wav, f0, tid, method=model.convert)
+        return convert_fn(wav, f0_fn(wav), tid)
 
     # warmup / compile
     out = convert(wav, tid)

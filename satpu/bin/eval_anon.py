@@ -1,0 +1,133 @@
+"""Privacy/utility evaluation driver — the reference's
+egs/anon/vctk/local/eval.py loop: ASR decode -> WER (utility) and ASV trials
+-> EER/linkability/Cllr (+ AS-norm) (privacy).
+
+Inputs: an (anonymized) kaldi data dir with text, an ASR checkpoint
+(loglikes -> best-path decode over a decoding graph), an ASV checkpoint +
+trial lists, and optionally a cohort for AS-norm.
+
+Usage:
+  python -m satpu.bin.eval_anon --config egs/anon/vctk/configs/eval.ini
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+from ..utils import config as cfg
+from ..utils import kaldi_data
+from ..utils.wer import corpus_wer
+
+
+@dataclasses.dataclass
+class EvalOpts(cfg.Opts):
+    data: str = ""  # data dir (wav.scp, text, utt2spk)
+    asr_checkpoint: str = ""
+    decode_graph: str = ""  # HCLG-style fst
+    words_txt: str = ""
+    acoustic_scale: float = 1.0
+    asv_checkpoint: str = ""
+    enroll_dir: str = ""  # data dir of enrollment utterances
+    trials: str = ""  # "spk utt target|nontarget" lines
+    cohort_dir: str = ""
+    results: str = "exp/eval"
+
+
+def evaluate_asr(opts) -> dict:
+    import jax
+
+    from .. import infer_helper
+    from ..chain.decoder import best_path_decode, read_words_txt
+    from ..chain.fst import Fst
+
+    model, variables, _ = infer_helper.load_model(opts.asr_checkpoint)
+    graph = Fst.read(opts.decode_graph)
+    words = read_words_txt(opts.words_txt) if opts.words_txt else None
+    utt2wav = kaldi_data.read_wav_scp(os.path.join(opts.data, "wav.scp"))
+    refs = kaldi_data.read_keyed_text(os.path.join(opts.data, "text"))
+
+    @jax.jit
+    def loglikes(w):
+        chain_out, _ = model.apply(variables, w, train=False)
+        return chain_out
+
+    hyps = {}
+    for utt, spec in utt2wav.items():
+        wav, _ = kaldi_data.load_wav_from_scp(spec)
+        ll = np.asarray(loglikes(wav[:1].astype(np.float32)))[0]
+        res = best_path_decode(ll, graph, acoustic_scale=opts.acoustic_scale,
+                               word_table=words)
+        hyps[utt] = res.text
+    wer = corpus_wer(refs, hyps)
+    logging.info("ASR %s", wer)
+    return {"wer": wer.wer * 100, "errors": wer.errors, "words": wer.words}
+
+
+def evaluate_asv(opts) -> dict:
+    from .. import infer_helper
+    from ..sidekit.trainer import asv_test, extract_xvectors
+
+    model, variables, _ = infer_helper.load_model(opts.asv_checkpoint)
+    enroll_wav = kaldi_data.read_wav_scp(os.path.join(opts.enroll_dir, "wav.scp"))
+    enroll_spk = kaldi_data.read_keyed_text(os.path.join(opts.enroll_dir, "utt2spk"))
+    enroll = {}
+    for utt, spec in enroll_wav.items():
+        wav, _ = kaldi_data.load_wav_from_scp(spec)
+        enroll.setdefault(enroll_spk[utt], []).append(wav[0])
+    trial_wav = kaldi_data.read_wav_scp(os.path.join(opts.data, "wav.scp"))
+    trial_wavs = {}
+    trials = []
+    with open(opts.trials) as f:
+        for line in f:
+            spk, utt, label = line.split()
+            trials.append((spk, utt, label in ("target", "tgt", "1")))
+            if utt not in trial_wavs:
+                wav, _ = kaldi_data.load_wav_from_scp(trial_wav[utt])
+                trial_wavs[utt] = wav[0]
+    cohort_xv = None
+    if opts.cohort_dir:
+        cw = kaldi_data.read_wav_scp(os.path.join(opts.cohort_dir, "wav.scp"))
+        wavs = []
+        for utt, spec in list(cw.items())[:400]:
+            wav, _ = kaldi_data.load_wav_from_scp(spec)
+            wavs.append(wav[0])
+        cohort_xv = extract_xvectors(model, variables, wavs)
+    metrics = asv_test(model, variables, enroll, trials, trial_wavs,
+                       cohort_xv=cohort_xv,
+                       metric_path=os.path.join(opts.results, "metric.json"))
+    logging.info("ASV %s", metrics)
+    return metrics
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="satpu %(levelname)s: %(message)s")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="")
+    args, rest = parser.parse_known_args(argv)
+    opts = EvalOpts()
+    if args.config:
+        ini = cfg.load_ini(args.config)
+        for sec, kv in ini.items():
+            if sec != "var":
+                opts.load_from_config(kv)
+    opts.load_from_args(rest)
+    os.makedirs(opts.results, exist_ok=True)
+    out = {}
+    if opts.asr_checkpoint:
+        out["asr"] = evaluate_asr(opts)
+    if opts.asv_checkpoint:
+        out["asv"] = evaluate_asv(opts)
+    with open(os.path.join(opts.results, "results.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""ASV (x-vector) training driver — the reference's
+egs/asv/voxceleb/local/train.py + SidekitModel loop (sidekit/model.py:325-493).
+
+Epoch loop of jitted data-parallel steps over SideSampler-balanced batches,
+validation EER each epoch, TrainingMonitor early stopping, best.ckpt symlink.
+
+Usage:
+  python -m satpu.bin.train_asv --config egs/asv/voxceleb/configs/ecapa.ini
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import sys
+
+import numpy as np
+
+from ..utils import checkpoint as ckpt
+from ..utils import config as cfg
+
+
+@dataclasses.dataclass
+class TrainAsvOpts(cfg.Opts):
+    train_set: str = ""
+    dirname: str = "exp/asv"
+    arch: str = "ecapa"  # ecapa | resnet
+    duration: float = 3.0
+    examples_per_speaker: int = 2
+    samples_per_speaker: int = 100
+    minibatch_size: int = 128
+    lr: float = 1e-3
+    weight_decay: float = 2e-5
+    epochs: int = 100
+    patience: int = 10
+    fine_tune: bool = False  # raises ArcMargin m to 0.4, disables specaug
+    seed: int = 1234
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="satpu %(levelname)s: %(message)s")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="")
+    args, rest = parser.parse_known_args(argv)
+    opts = TrainAsvOpts()
+    if args.config:
+        ini = cfg.load_ini(args.config)
+        for sec, kv in ini.items():
+            if sec != "var":
+                opts.load_from_config(kv)
+    opts.load_from_args(rest)
+
+    import jax
+
+    from .. import infer_helper
+    from ..sidekit.dataset import SideSampler, SideSet
+    from ..sidekit.trainer import (TrainingMonitor, init_asv_state,
+                                   make_asv_optimizer, make_asv_train_step,
+                                   validation_eer)
+    from ..sidekit.xvector import XVectorConfig, build_xvector
+
+    os.makedirs(opts.dirname, exist_ok=True)
+    side = SideSet.from_data_dir(opts.train_set, duration=opts.duration,
+                                 random_shift=not opts.fine_tune)
+    speakers = side.speakers
+    logging.info("%d chunks over %d speakers", len(side), len(speakers))
+
+    xcfg = XVectorConfig(num_speakers=len(speakers), arch=opts.arch,
+                         spec_augment=not opts.fine_tune)
+    model = build_xvector(xcfg)
+    optimizer = make_asv_optimizer(lr=opts.lr, weight_decay=opts.weight_decay)
+    dur = int(opts.duration * 16000)
+    state = init_asv_state(model, jax.random.PRNGKey(opts.seed),
+                           np.zeros((2, dur), np.float32), optimizer)
+    arc_m = 0.4 if opts.fine_tune else None
+    step = jax.jit(make_asv_train_step(model, optimizer, arc_m=arc_m))
+
+    monitor = TrainingMonitor(patience=opts.patience)
+    sampler = SideSampler(side.chunk_speakers, len(speakers),
+                          opts.examples_per_speaker, opts.samples_per_speaker,
+                          opts.minibatch_size, seed=opts.seed)
+    for epoch in range(opts.epochs):
+        sampler.set_epoch(epoch)
+        losses = []
+        for wav, spk in side.batches(sampler, opts.minibatch_size):
+            state, metrics = step(state, wav, spk, jax.random.PRNGKey(epoch))
+            losses.append(float(metrics["loss"]))
+        # quick validation on a slice of chunks
+        val_idx = list(range(0, len(side), max(len(side) // 64, 1)))[:64]
+        wavs = [side[i][0] for i in val_idx]
+        labels = np.asarray([side[i][1] for i in val_idx])
+        from ..sidekit.trainer import extract_xvectors
+
+        emb = extract_xvectors(model, {"params": state.params,
+                                       "batch_stats": state.batch_stats}, wavs)
+        eer = validation_eer(emb, labels)
+        is_best = monitor.update(epoch, eer)
+        logging.info("epoch %d loss %.3f val-EER %.2f%%%s", epoch,
+                     float(np.mean(losses)) if losses else float("nan"),
+                     eer * 100, " (best)" if is_best else "")
+        path = os.path.join(opts.dirname, f"{epoch}.ckpt")
+        infer_helper.save_model(path, "asv_xvector",
+                                dataclasses.asdict(xcfg) | {},
+                                {"params": state.params, "batch_stats": state.batch_stats},
+                                extra_meta={"speakers": speakers, "epoch": epoch})
+        if is_best:
+            best = os.path.join(opts.dirname, "best.ckpt")
+            if os.path.islink(best) or os.path.exists(best):
+                os.remove(best)
+            os.symlink(os.path.basename(path), best)
+        ckpt.checkpoint_gc(opts.dirname, "", keep_last=10,
+                           protected=[os.path.join(opts.dirname, "best.ckpt")])
+        if monitor.should_stop:
+            logging.info("early stop at epoch %d (best %.2f%% @ %d)", epoch,
+                         monitor.best_eer * 100, monitor.best_epoch)
+            break
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,6 +28,14 @@ def register_model(model_id: str):
     return deco
 
 
+def _tuplify(kwargs):
+    """JSON round-trips tuples as lists; dataclass configs want tuples back."""
+    out = {}
+    for k, v in kwargs.items():
+        out[k] = tuple(v) if isinstance(v, list) else v
+    return out
+
+
 def _register_builtins():
     from .models.asrbn import TDNNFNet, TDNNFNetConfig
     from .models.anonymizer import AnonymizationNet, AnonymizerConfig
@@ -36,13 +44,32 @@ def _register_builtins():
 
         @register_model("asrbn_tdnnf")
         def _build_asrbn(**kwargs):
-            return TDNNFNet(TDNNFNetConfig(**kwargs))
+            return TDNNFNet(TDNNFNetConfig(**_tuplify(kwargs)))
 
         @register_model("anonymizer_tdnnf_hifigan")
         def _build_anon(**kwargs):
-            asrbn_kwargs = kwargs.pop("asrbn", {})
-            cfg = AnonymizerConfig(asrbn=TDNNFNetConfig(**asrbn_kwargs), **kwargs)
+            asrbn_kwargs = _tuplify(kwargs.pop("asrbn", {}))
+            cfg = AnonymizerConfig(asrbn=TDNNFNetConfig(**asrbn_kwargs),
+                                   **_tuplify(kwargs))
             return AnonymizationNet(cfg)
+
+        @register_model("asv_xvector")
+        def _build_asv(**kwargs):
+            from .sidekit.xvector import XVectorConfig, build_xvector
+
+            return build_xvector(XVectorConfig(**kwargs))
+
+        @register_model("asrbn_tdnnf_wav2vec2")
+        def _build_asrbn_w2v2(**kwargs):
+            from .models.asrbn import Wav2Vec2TDNNFNet
+            from .models.wav2vec2 import Wav2Vec2Config
+
+            w2v2_kwargs = kwargs.pop("wav2vec2", {})
+            for key in ("conv_dim", "conv_kernel", "conv_stride"):
+                if key in w2v2_kwargs:
+                    w2v2_kwargs[key] = tuple(w2v2_kwargs[key])
+            return Wav2Vec2TDNNFNet(TDNNFNetConfig(**_tuplify(kwargs)),
+                                    Wav2Vec2Config(**w2v2_kwargs))
 
 
 def build_model(model_id: str, **build_params):
