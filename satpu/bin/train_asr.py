@@ -38,6 +38,9 @@ class TrainAsrOpts(cfg.Opts):
     den_fst: str = ""
     num_pdfs: int = 0
     model: str = "tdnnf"  # tdnnf | tdnnf_vq | tdnnf_dp
+    hidden_dim: int = 1024
+    bottleneck_dim: int = 128
+    prefinal_bottleneck_dim: int = 256
     codebook_size: int = 0
     dp_epsilon: float = 0.0
     minibatch_size: int = 16
@@ -87,6 +90,8 @@ def main(argv=None):
     bottleneck = ("vq" if opts.model == "tdnnf_vq" else
                   "dp" if opts.model == "tdnnf_dp" else "none")
     mcfg = TDNNFNetConfig(output_dim=opts.num_pdfs, bottleneck=bottleneck,
+                          hidden_dim=opts.hidden_dim, bottleneck_dim=opts.bottleneck_dim,
+                          prefinal_bottleneck_dim=opts.prefinal_bottleneck_dim,
                           codebook_size=opts.codebook_size, epsilon=opts.dp_epsilon)
     model = TDNNFNet(mcfg)
 

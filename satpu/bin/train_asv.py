@@ -26,6 +26,8 @@ class TrainAsvOpts(cfg.Opts):
     train_set: str = ""
     dirname: str = "exp/asv"
     arch: str = "ecapa"  # ecapa | resnet
+    channels: int = 512
+    embedding_size: int = 192
     duration: float = 3.0
     examples_per_speaker: int = 2
     samples_per_speaker: int = 100
@@ -67,6 +69,7 @@ def main(argv=None):
     logging.info("%d chunks over %d speakers", len(side), len(speakers))
 
     xcfg = XVectorConfig(num_speakers=len(speakers), arch=opts.arch,
+                         channels=opts.channels, embedding_size=opts.embedding_size,
                          spec_augment=not opts.fine_tune)
     model = build_xvector(xcfg)
     optimizer = make_asv_optimizer(lr=opts.lr, weight_decay=opts.weight_decay)

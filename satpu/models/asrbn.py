@@ -128,7 +128,9 @@ class TDNNFNet(nn.Module):
 
     def _dropout(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         if train and self.cfg.p_dropout > 0:
-            return nn.Dropout(self.cfg.p_dropout, deterministic=False)(x)
+            keep = 1.0 - self.cfg.p_dropout
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+            return jnp.where(mask, x / keep, 0.0)
         return x
 
     def __call__(self, wav: jnp.ndarray, train: bool = False):

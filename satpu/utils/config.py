@@ -86,6 +86,8 @@ class Opts:
     ``--a-b``), matching the reference trainer convention.
     """
 
+    _TYPE_NAMES = {"int": int, "float": float, "str": str, "bool": bool}
+
     def load_from_config(self: T, cfg: Dict[str, Any]) -> T:
         hints = {}
         for klass in reversed(type(self).__mro__):
@@ -94,9 +96,11 @@ class Opts:
             if not hasattr(self, key):
                 continue
             ftype = hints.get(key, str)
-            if ftype is bool or ftype == "bool":
+            if isinstance(ftype, str):  # `from __future__ import annotations`
+                ftype = self._TYPE_NAMES.get(ftype, str)
+            if ftype is bool:
                 setattr(self, key, str2bool(value))
-            elif ftype in (dict, "dict") or (isinstance(value, str) and ftype in (Any, "Any")):
+            elif ftype in (dict,):
                 setattr(self, key, value)
             else:
                 caster = ftype if callable(ftype) else str
@@ -108,10 +112,14 @@ class Opts:
         for field in dataclasses.fields(self):
             name = "--" + field.name.replace("_", "-")
             default = getattr(self, field.name)
-            if field.type is bool or isinstance(default, bool):
+            ftype = field.type
+            if isinstance(ftype, str):
+                ftype = self._TYPE_NAMES.get(ftype, type(default))
+            if ftype is bool or isinstance(default, bool):
                 parser.add_argument(name, type=str2bool, default=default)
             else:
-                ftype = field.type if callable(field.type) else type(default)
+                if not callable(ftype):
+                    ftype = type(default)
                 if ftype in (dict, list):
                     parser.add_argument(name, type=json.loads, default=default)
                 else:

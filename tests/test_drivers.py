@@ -1,0 +1,125 @@
+"""Smoke tests for the config-driven training/eval drivers on tiny synthetic
+data dirs (CPU)."""
+import os
+
+import numpy as np
+import pytest
+
+
+def _make_asv_dir(tmp_path, n_spk=3, utts_per_spk=3, T=16000 * 4):
+    from satpu.utils import kaldi_data
+
+    d = str(tmp_path / "asv_data")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    wav_scp, utt2spk = {}, {}
+    for s in range(n_spk):
+        for u in range(utts_per_spk):
+            utt = f"spk{s}_u{u}"
+            x = (rng.standard_normal(T) * 0.1).astype(np.float32)
+            p = str(tmp_path / f"{utt}.wav")
+            kaldi_data.write_wav(p, x, 16000)
+            wav_scp[utt] = p
+            utt2spk[utt] = f"spk{s}"
+    kaldi_data.write_keyed_text(wav_scp, os.path.join(d, "wav.scp"))
+    kaldi_data.write_keyed_text(utt2spk, os.path.join(d, "utt2spk"))
+    return d
+
+
+def test_train_asv_driver_smoke(tmp_path, monkeypatch):
+    from satpu.bin import train_asv
+
+    d = _make_asv_dir(tmp_path)
+    exp = str(tmp_path / "exp")
+    rc = train_asv.main([
+        "--train-set", d, "--dirname", exp, "--arch", "ecapa",
+        "--duration", "1.0", "--samples-per-speaker", "2",
+        "--examples-per-speaker", "2", "--minibatch-size", "6",
+        "--epochs", "1", "--lr", "0.001", "--channels", "32", "--embedding-size", "16",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(exp, "0.ckpt"))
+    assert os.path.islink(os.path.join(exp, "best.ckpt"))
+    # reload through the registry
+    from satpu import infer_helper
+
+    model, variables, meta = infer_helper.load_model(os.path.join(exp, "best.ckpt"))
+    assert meta["model_id"] == "asv_xvector"
+    assert len(meta["speakers"]) == 3
+
+
+def test_train_asr_driver_smoke(tmp_path):
+    from satpu.bin import train_asr
+    from satpu.chain.fst import Arc, Fst, linear_fst_from_pdf_sequence
+    from satpu.utils import kaldi_data
+
+    P = 8
+    d = str(tmp_path / "asr_data")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    wav_scp, u2l, fst_lines = {}, {}, []
+    ark = str(tmp_path / "fsts.ark")
+    with open(ark, "wb") as f:
+        for i in range(4):
+            T = 16000
+            utt = f"utt{i}"
+            x = (rng.standard_normal(T) * 0.1).astype(np.float32)
+            p = str(tmp_path / f"{utt}.wav")
+            kaldi_data.write_wav(p, x, 16000)
+            wav_scp[utt] = p
+            u2l[utt] = str(T)
+            f.write(utt.encode() + b" ")
+            off = f.tell()
+            linear_fst_from_pdf_sequence([i % P, (i + 1) % P]).write_binary(f)
+            fst_lines.append(f"{utt} {ark}:{off}")
+    kaldi_data.write_keyed_text(wav_scp, os.path.join(d, "wav.scp"))
+    kaldi_data.write_keyed_text(u2l, os.path.join(d, "utt2len"))
+    with open(tmp_path / "fst.scp", "w") as f:
+        f.write("\n".join(fst_lines) + "\n")
+    # bigram den graph
+    den = Fst()
+    s0 = den.add_state()
+    sts = [den.add_state() for _ in range(P)]
+    for j in range(P):
+        den.add_arc(s0, Arc(j + 1, j + 1, np.log(P), sts[j]))
+    for i in range(P):
+        for j in range(P):
+            den.add_arc(sts[i], Arc(j + 1, j + 1, np.log(P), sts[j]))
+        den.set_final(sts[i], 0.0)
+    den_path = str(tmp_path / "den.fst")
+    den.write(den_path)
+
+    exp = str(tmp_path / "exp_chain")
+    rc = train_asr.main([
+        "--train-set", d, "--fst-scp", str(tmp_path / "fst.scp"),
+        "--den-fst", den_path, "--num-pdfs", str(P), "--dirname", exp,
+        "--minibatch-size", "2", "--num-epochs", "1",
+        "--checkpoint-interval", "2", "--diagnostics-interval", "1",
+        "--model", "tdnnf", "--hidden-dim", "16", "--bottleneck-dim", "8", "--prefinal-bottleneck-dim", "8",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(exp, "final.ckpt"))
+
+
+def test_anonymize_cli_smoke(tmp_path):
+    """The anonymize CLI end-to-end with a tiny checkpoint + config file."""
+    from test_anonymize_pipeline import _make_data_dir, _tiny_anon_checkpoint
+
+    from satpu.bin import anonymize
+
+    ckpt = _tiny_anon_checkpoint(tmp_path)
+    data_dir = _make_data_dir(tmp_path, n_utts=3)
+    cfg_path = str(tmp_path / "anon.ini")
+    with open(cfg_path, "w") as f:
+        f.write(f"""[anonymize]
+checkpoint = {ckpt}
+target_selection_algorithm = random_per_utt
+batch_size = 2
+""")
+    rc = anonymize.main(["--config", cfg_path, "--directory", data_dir,
+                         "--results-dir", str(tmp_path / "wavs")])
+    assert rc == 0
+    from satpu.utils import kaldi_data
+
+    out = kaldi_data.read_wav_scp(os.path.join(data_dir + "_anon", "wav.scp"))
+    assert len(out) == 3
