@@ -61,3 +61,60 @@ def test_decode_with_weights_prefers_cheap_path():
     ll = np.zeros((1, 2), np.float32)
     res = best_path_decode(ll, g)
     assert res.words == [2]
+
+
+def test_native_decoder_matches_python():
+    import pytest
+
+    from satpu import native
+    from satpu.chain.decoder import best_path_decode
+    from satpu.chain.fst import Arc, Fst
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(3)
+    # random-ish layered graph with words
+    g = Fst()
+    P, L = 6, 5
+    layers = [[g.add_state() for _ in range(3)] for _ in range(L + 1)]
+    g.start = layers[0][0]
+    for l in range(L):
+        for i, s in enumerate(layers[l]):
+            for j, d in enumerate(layers[l + 1]):
+                pdf = (l + i + j) % P
+                word = (l * 3 + j + 1) if j == i else 0
+                g.add_arc(s, Arc(pdf + 1, word, float(rng.uniform(0, 2)), d))
+    for s in layers[L]:
+        g.set_final(s, 0.0)
+
+    T = L
+    ll = rng.standard_normal((T, P)).astype(np.float32)
+    py = best_path_decode(ll, g, acoustic_scale=1.0)
+    ng = native.NativeGraph(g)
+    words, align, cost = native.decode(ng, ll, acoustic_scale=1.0)
+    np.testing.assert_allclose(cost, py.score, rtol=1e-5, atol=1e-5)
+    assert align == py.alignment
+    assert words == py.words
+
+
+def test_native_decoder_epsilon_arcs():
+    import pytest
+
+    from satpu import native
+    from satpu.chain.fst import Arc, Fst
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    # eps arc carrying a word between two emitting arcs
+    g = Fst()
+    s = [g.add_state() for _ in range(4)]
+    g.add_arc(s[0], Arc(1, 0, 0.0, s[1]))
+    g.add_arc(s[1], Arc(0, 7, 0.1, s[2]))  # epsilon with word 7
+    g.add_arc(s[2], Arc(2, 0, 0.0, s[3]))
+    g.set_final(s[3], 0.0)
+    ll = np.zeros((2, 2), np.float32)
+    ng = native.NativeGraph(g)
+    words, align, cost = native.decode(ng, ll)
+    assert words == [7]
+    assert align == [0, 1]
