@@ -59,9 +59,6 @@ def main(argv=None):
 
     model, variables, meta = infer_helper.load_model(opts.checkpoint)
     speakers = meta.get("speakers") or [str(i) for i in range(model.cfg.num_speakers)]
-    if opts.f0_transformation:
-        model, variables, meta = infer_helper.load_model(
-            opts.checkpoint, option_args={"f0_transformation": opts.f0_transformation})
 
     results_dir = opts.results_dir or os.path.join(
         opts.directory.rstrip("/") + opts.new_datadir_suffix, "wavs")
@@ -76,6 +73,7 @@ def main(argv=None):
         target_constant_spkid=opts.target_constant_spkid,
         batch_size=opts.batch_size, f0_transformation=opts.f0_transformation,
         seed=opts.seed, new_datadir_suffix=opts.new_datadir_suffix,
+        num_shards=opts.num_shards, shard=opts.shard,
         progress_cb=progress)
     logging.info("done: %s", out_dir)
     return 0

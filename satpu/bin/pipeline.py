@@ -38,7 +38,9 @@ def select_targets(utids: Sequence[str], algorithm: str, possible_targets: List[
     if algorithm == "constant":
         targets = [constant_spkid] * len(utids)
     elif algorithm == "none":
-        targets = []
+        # reference bin/pipeline.py:113-114: no target = resynthesize each
+        # utterance as its own source speaker
+        targets = [source_utt2spk[ut] for ut in utids]
     elif algorithm == "bad_for_evaluation":
         for ut in utids:
             spk = source_utt2spk[ut]
@@ -71,7 +73,10 @@ def bucket_for(length: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if length <= b:
             return b
-    return buckets[-1]
+    # longer than the largest bucket: round up to a multiple of it so the
+    # padded copy never overflows (rare outliers cost one extra compile each)
+    top = buckets[-1]
+    return ((length + top - 1) // top) * top
 
 
 def process_data(model, variables, speakers: List[str], data_dir: str, results_dir: str,
@@ -79,16 +84,27 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
                  target_constant_spkid: str = "", batch_size: int = 8,
                  buckets: Sequence[int] = DEFAULT_BUCKETS, f0_transformation: str = "",
                  seed: int = 0, new_datadir_suffix: str = "_anon",
+                 num_shards: int = 1, shard: int = 0,
                  progress_cb=None) -> str:
     """Anonymize every utterance of ``data_dir``; returns the new data dir.
 
     model: AnonymizationNet; variables: its flax variables; speakers: ordered
-    target speaker list (index = one-hot id).
+    target speaker list (index = one-hot id). With ``num_shards > 1`` only
+    every num_shards-th utterance (offset ``shard``) is processed and a
+    partial ``wav_shard{k}.scp`` is written; the full ``wav.scp`` is merged
+    once all shards are present (reference bin/anonymize:82-93 fans out
+    processes; here shards map to hosts).
     """
     rng = random.Random(seed)
     out_dir = data_dir.rstrip("/") + new_datadir_suffix
     kaldi_data.copy_data_dir(data_dir, out_dir)
     os.makedirs(results_dir, exist_ok=True)
+
+    if f0_transformation and f0_transformation != model.cfg.f0_transformation:
+        # transformation lives in the (param-free) config: rebuild the module
+        import dataclasses as _dc
+
+        model = type(model)(_dc.replace(model.cfg, f0_transformation=f0_transformation))
 
     utt2wav = kaldi_data.read_wav_scp(os.path.join(data_dir, "wav.scp"))
     utt2spk_path = os.path.join(data_dir, "utt2spk")
@@ -99,9 +115,11 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
     state: Dict[str, object] = {}
 
     # ---- load lengths and group into padded buckets ----
+    all_utts = sorted(utt2wav)
+    my_utts = all_utts[shard::num_shards] if num_shards > 1 else all_utts
     entries = []
-    for utt, wavspec in utt2wav.items():
-        wav, rate = kaldi_data.load_wav_from_scp(wavspec)
+    for utt in my_utts:
+        wav, rate = kaldi_data.load_wav_from_scp(utt2wav[utt])
         entries.append((utt, wav[0], rate))
     entries.sort(key=lambda e: len(e[1]))
 
@@ -131,20 +149,26 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
         rate = batch[0][2]
         maxlen = max(len(e[1]) for e in batch)
         bucket = bucket_for(maxlen, buckets)
-        wav_batch = np.zeros((len(batch), bucket), np.float32)
+        # always pad the batch dim to batch_size: at most len(buckets)
+        # compiled shapes for the whole run
+        wav_batch = np.zeros((batch_size, bucket), np.float32)
         lens = []
         for j, (_, w, _) in enumerate(batch):
             wav_batch[j, : len(w)] = w
             lens.append(len(w))
         targets = select_targets(utids, target_selection_algorithm, list(speakers),
                                  source_utt2spk, state, target_constant_spkid, rng)
-        if targets:
-            tids = np.asarray([spk_index[t] for t in targets], np.int32)
-        else:
-            tids = np.zeros((len(batch),), np.int32)
+        try:
+            tids_list = [spk_index[t] for t in targets]
+        except KeyError as e:
+            raise KeyError(
+                f"target speaker {e} is not in the model's speaker list "
+                f"(algorithm={target_selection_algorithm!r}); with 'none' every "
+                "source speaker must be a training speaker of the model") from None
+        tids = np.zeros((batch_size,), np.int32)
+        tids[: len(batch)] = tids_list
         key, sub = jax.random.split(key)
-        out = convert(wav_batch, tids, sub)
-        out = np.asarray(out)
+        out = np.asarray(convert(wav_batch, tids, sub))[: len(batch)]
         pending.append(writer.submit(write_batch, utids, out, lens, rate))
         done += len(batch)
         if progress_cb:
@@ -153,6 +177,18 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
     for p in pending:
         p.result()
     writer.shutdown()
-    kaldi_data.write_keyed_text(new_wav_scp, os.path.join(out_dir, "wav.scp"))
+    if num_shards > 1:
+        shard_scp = os.path.join(out_dir, f"wav_shard{shard}.scp")
+        kaldi_data.write_keyed_text(new_wav_scp, shard_scp)
+        parts = [os.path.join(out_dir, f"wav_shard{k}.scp") for k in range(num_shards)]
+        if all(os.path.exists(p) for p in parts):
+            merged: Dict[str, str] = {}
+            for p in parts:
+                merged.update(kaldi_data.read_keyed_text(p))
+            kaldi_data.write_keyed_text(
+                dict(sorted(merged.items())), os.path.join(out_dir, "wav.scp"))
+            logging.info("merged %d shards -> %s/wav.scp", num_shards, out_dir)
+    else:
+        kaldi_data.write_keyed_text(new_wav_scp, os.path.join(out_dir, "wav.scp"))
     logging.info("anonymized %d utterances -> %s", len(new_wav_scp), out_dir)
     return out_dir

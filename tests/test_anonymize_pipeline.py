@@ -59,7 +59,10 @@ def test_select_targets_algorithms():
 
     out = select_targets(utids, "constant", targets, utt2spk, {}, "b", rng)
     assert out == ["b"] * 6
-    assert select_targets(utids, "none", targets, utt2spk, {}, rng=rng) == []
+    # 'none' resynthesizes each utterance as its own source speaker
+    # (reference bin/pipeline.py:113-114)
+    assert select_targets(utids, "none", targets, utt2spk, {}, rng=rng) == [
+        utt2spk[u] for u in utids]
     state = {}
     out = select_targets(utids, "random_per_spk", targets, utt2spk, state, rng=rng)
     by_spk = {}
