@@ -43,6 +43,11 @@ class TrainVcOpts(cfg.Opts):
     fake_epoch: bool = False
     num_speakers: int = 0  # 0 = infer from utt2spk
     f0_transformation: str = ""
+    # generator architecture (reference tuning/hifigan.py knobs); comma lists
+    upsample_rates: str = "5,4,4,2,2"
+    upsample_kernel_sizes: str = "11,8,8,4,4"
+    upsample_initial_channel: int = 512
+    bn_dim: int = 256
 
 
 def main(argv=None):
@@ -62,11 +67,12 @@ def main(argv=None):
 
     from .. import infer_helper
     from ..hifigan.dataset import HifiGanDataset
-    from ..hifigan.trainer import GanHparams, init_gan_state, make_gan_train_step
+    from ..hifigan.trainer import (GanHparams, init_gan_state, make_gan_eval_step,
+                                   make_gan_train_step, restore_gan_state)
     from ..models.anonymizer import AnonymizationNet, AnonymizerConfig
     from ..models.asrbn import TDNNFNetConfig
-    from ..ops.mel import mel_spectrogram
     from ..utils import kaldi_data
+    from ..utils.metrics import MetricsWriter, profile_steps
 
     os.makedirs(opts.dirname, exist_ok=True)
 
@@ -78,29 +84,48 @@ def main(argv=None):
     if opts.asrbn_checkpoint:
         bn_model, bn_vars, bn_meta = infer_helper.load_model(opts.asrbn_checkpoint)
         asrbn_cfg = bn_model.cfg
-
-        @jax.jit
-        def bn_fn_j(wav):
-            return jnp_transpose(bn_model.apply(bn_vars, wav, method=bn_model.extract_bn))
-
-        def jnp_transpose(x):
-            import jax.numpy as jnp
-
-            return jnp.transpose(x, (0, 2, 1))
-
-        def bn_fn(wav):
-            return np.asarray(bn_fn_j(wav))[0]
     else:
-        asrbn_cfg = TDNNFNetConfig()
-        bn_model = bn_vars = None
-        bn_fn = None
+        # smoke-test fallback: a randomly initialized extractor (real recipes
+        # always point at a trained ASR-BN checkpoint, tuning/hifigan.py:27-28)
+        from ..models.asrbn import TDNNFNet
 
-    anon_cfg = AnonymizerConfig(asrbn=asrbn_cfg, num_speakers=num_speakers,
-                                f0_transformation=opts.f0_transformation)
+        logging.warning("no --asrbn-checkpoint: using a randomly initialized "
+                        "BN extractor (smoke-test only)")
+        asrbn_cfg = TDNNFNetConfig()
+        bn_model = TDNNFNet(asrbn_cfg)
+        bn_vars = jax.jit(
+            lambda k, w: bn_model.init(k, w, method=bn_model.extract_bn))(
+                jax.random.PRNGKey(1), np.zeros((1, 32000), np.float32))
+
+    @jax.jit
+    def bn_fn_j(wav, lengths):
+        import jax.numpy as jnp
+
+        bn = bn_model.apply(bn_vars, wav, lengths=lengths,
+                            method=bn_model.extract_bn)
+        return jnp.transpose(bn, (0, 2, 1))
+
+    def bn_fn(wav, lengths):
+        # two-arg form: HifiGanDataset bucket-pads the audio and crops the
+        # output, so this compiles once per bucket, not once per length
+        return np.asarray(bn_fn_j(wav, lengths))[0]
+
+    anon_cfg = AnonymizerConfig(
+        asrbn=asrbn_cfg, num_speakers=num_speakers,
+        f0_transformation=opts.f0_transformation,
+        upsample_rates=tuple(int(x) for x in opts.upsample_rates.split(",")),
+        upsample_kernel_sizes=tuple(int(x) for x in opts.upsample_kernel_sizes.split(",")),
+        upsample_initial_channel=opts.upsample_initial_channel,
+        bn_dim=opts.bn_dim)
     model = AnonymizationNet(anon_cfg)
 
-    def f0_fn(wav):
-        return np.asarray(model.get_f0(wav))[0]
+    f0_j = jax.jit(model.get_f0)
+
+    def f0_fn(wav, lengths):
+        # YAAPT runs on the bucket-padded audio; the dataset crops to the true
+        # frame count (same train/infer consistency as the anonymize pipeline,
+        # which also feeds bucket-padded audio to get_f0)
+        return np.asarray(f0_j(wav))[0]
 
     ds = HifiGanDataset(opts.train_set, speakers=speakers, bn_fn=bn_fn, f0_fn=f0_fn,
                         segment_size=opts.segment_size)
@@ -117,43 +142,82 @@ def main(argv=None):
         "f0": np.zeros((1, T_bn), np.float32),
         "spk": np.zeros((1, num_speakers), np.float32),
     }
-    variables = model.init(rng, init_batch["f0"], init_batch["bn"], init_batch["spk"],
-                           method=model.forward_decoder)
+    variables = jax.jit(
+        lambda r, f, b, s: model.init(r, f, b, s, method=model.forward_decoder))(
+            rng, init_batch["f0"], init_batch["bn"], init_batch["spk"])
     if opts.init_weight_model:
         _, ivars, _ = infer_helper.load_model(opts.init_weight_model)
         variables = ivars
     state, mpd, msd = init_gan_state(model, dict(variables), rng, h)
     step_fn = jax.jit(make_gan_train_step(model, mpd, msd, h))
+    eval_fn = jax.jit(make_gan_eval_step(model, h))
 
-    # resume
+    dev_ds = None
+    if opts.dev_set:
+        dev_ds = HifiGanDataset(opts.dev_set, speakers=speakers, bn_fn=bn_fn,
+                                f0_fn=f0_fn, segment_size=opts.segment_size)
+
+    # resume: restore the full g_/d_/trainer_ triplet (reference
+    # vc train.py:117-125, hifigan/model.py:266-281)
     last = ckpt.latest_checkpoint(opts.dirname, "trainer_")
-    start_epoch = 0
+    start_epoch, steps, best_val = 0, 0, float("inf")
     if last:
-        meta, st = ckpt.load_checkpoint(last)
+        meta, trainer_state = ckpt.load_checkpoint(last)
         start_epoch = meta.get("epoch", 0)
-        logging.info("resuming from %s (epoch %d)", last, start_epoch)
+        steps = meta.get("steps", 0)
+        best_val = meta.get("best_val") or float("inf")
+        g_path = os.path.join(opts.dirname, f"g_{steps}.ckpt")
+        d_path = os.path.join(opts.dirname, f"d_{steps}.ckpt")
+        _, g_state = ckpt.load_checkpoint(g_path)
+        _, d_state = ckpt.load_checkpoint(d_path)
+        state = restore_gan_state(state, g_state["variables"], d_state,
+                                  trainer_state, start_epoch, steps)
+        logging.info("resuming from %s (epoch %d, step %d, best_val %.4f)",
+                     last, start_epoch, steps, best_val)
 
-    steps = 0
-    best_val = float("inf")
+    metrics_log = MetricsWriter(opts.dirname)
+
+    def validate_and_save(epoch, steps, best_val):
+        val_err = None
+        if dev_ds is not None:
+            errs = [float(eval_fn(state.params_g, state.frozen_g, b))
+                    for b in dev_ds.batches(opts.minibatch_size, shuffle=False)]
+            if errs:
+                val_err = sum(errs) / len(errs)
+                metrics_log.write(steps, "val_mel_error", val_err, epoch=epoch)
+                logging.info("validation mel error: %.4f (best %.4f)", val_err,
+                             best_val)
+        _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val)
+        if val_err is not None and val_err < best_val:
+            best_val = val_err
+            best = os.path.join(opts.dirname, "g_best.ckpt")
+            if os.path.lexists(best):
+                os.remove(best)
+            os.symlink(f"g_{steps}.ckpt", best)
+        return best_val
+
     for epoch in range(start_epoch, opts.training_epochs):
-        for batch in ds.batches(opts.minibatch_size, epoch=epoch):
-            t0 = time.time()
-            state, metrics = step_fn(state, batch)
-            steps += 1
-            if steps % 50 == 0:
-                logging.info(
-                    "Epoch %d Steps %d Gen Loss %.3f Mel err %.3f s/b %.3f",
-                    epoch + 1, steps, float(metrics["loss_gen_all"]),
-                    float(metrics["mel_spec_error"]), time.time() - t0)
-            if steps % opts.checkpoint_interval == 0:
-                _save(opts, model, anon_cfg, state, epoch, steps, speakers)
+        with profile_steps(opts.dirname):
+            for batch in ds.batches(opts.minibatch_size, epoch=epoch):
+                t0 = time.time()
+                state, metrics = step_fn(state, batch)
+                steps += 1
+                if steps % 50 == 0:
+                    logging.info(
+                        "Epoch %d Steps %d Gen Loss %.3f Mel err %.3f s/b %.3f",
+                        epoch + 1, steps, float(metrics["loss_gen_all"]),
+                        float(metrics["mel_spec_error"]), time.time() - t0)
+                    metrics_log.write(steps, {k: float(v) for k, v in metrics.items()},
+                                      epoch=epoch)
+                if steps % opts.checkpoint_interval == 0:
+                    best_val = validate_and_save(epoch, steps, best_val)
         state = state.replace(epoch=state.epoch + 1)
-        _save(opts, model, anon_cfg, state, epoch + 1, steps, speakers)
+        best_val = validate_and_save(epoch + 1, steps, best_val)
     logging.info("training done at %d steps", steps)
     return 0
 
 
-def _save(opts, model, anon_cfg, state, epoch, steps, speakers):
+def _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val):
     from ..hifigan.trainer import merge_generator_params
     from .. import infer_helper
 
@@ -168,14 +232,14 @@ def _save(opts, model, anon_cfg, state, epoch, steps, speakers):
                          {"mpd": state.params_mpd, "msd": state.params_msd,
                           "spectral": state.spectral_msd})
     ckpt.save_checkpoint(os.path.join(opts.dirname, f"trainer_{steps}.ckpt"),
-                         {"epoch": epoch, "steps": steps},
+                         {"epoch": epoch, "steps": steps,
+                          "best_val": None if best_val == float("inf") else best_val},
                          {"opt_g": state.opt_g, "opt_d": state.opt_d})
+    best = os.path.join(opts.dirname, "g_best.ckpt")
     for prefix in ("g_", "d_", "trainer_"):
         ckpt.checkpoint_gc(opts.dirname, prefix, keep_last=10,
-                           keep_every=10 * opts.checkpoint_interval)
-
-
-import dataclasses  # noqa: E402
+                           keep_every=10 * opts.checkpoint_interval,
+                           protected=(best,))
 
 
 if __name__ == "__main__":

@@ -23,6 +23,20 @@ import numpy as np
 from ..utils import kaldi_data
 from ..utils.feature_cache import FeatureCache
 
+# padded-length ladder for feature extraction: one compiled program per
+# bucket instead of one per distinct utterance length (same ladder as the
+# anonymize pipeline, satpu.bin.pipeline.DEFAULT_BUCKETS)
+FEATURE_BUCKETS = (16000, 32000, 48000, 64000, 96000, 128000, 160000, 240000, 320000)
+
+
+def _bucket_pad(audio: np.ndarray, buckets: Sequence[int]) -> np.ndarray:
+    T = len(audio)
+    top = buckets[-1]
+    b = next((x for x in buckets if T <= x), ((T + top - 1) // top) * top)
+    out = np.zeros((1, b), np.float32)
+    out[0, :T] = audio
+    return out
+
 
 def normalize_audio(x: np.ndarray, level: float = 0.95) -> np.ndarray:
     """librosa.util.normalize(x) * level: peak normalization (dataset.py:137)."""
@@ -98,13 +112,39 @@ class HifiGanDataset:
                      if u in utt2spk]
         self.bn_fn = bn_fn
         self.f0_fn = f0_fn
+        import inspect
+
+        def takes_len(fn):
+            try:
+                return fn is not None and len(inspect.signature(fn).parameters) >= 2
+            except (TypeError, ValueError):
+                return False
+
+        self._bn_takes_len = takes_len(bn_fn)
+        self._f0_takes_len = takes_len(f0_fn)
         cache_dir = cache_dir or os.path.join(data_dir, "feature_cache")
         self.bn_cache = FeatureCache(cache_dir, "get_bn", worker_name,
                                      enabled=bn_fn is not None)
         self.f0_cache = FeatureCache(cache_dir, "get_f0", worker_name,
                                      enabled=f0_fn is not None)
-        # min-length filter (vc train.py:167-174 filterlen_data_dir)
+        # min-length filter (vc train.py:167-174 filterlen_data_dir): drop
+        # utterances shorter than a training segment — they would yield
+        # ragged crops and crash np.stack in batches()
         self.min_len = min_len
+        if min_len > 0:
+            utt2len_path = os.path.join(data_dir, "utt2len")
+            if os.path.exists(utt2len_path):
+                utt2len = kaldi_data.read_utt2len_file(utt2len_path)
+            else:
+                utt2len = kaldi_data.gen_utt2len(
+                    os.path.join(data_dir, "wav.scp"), utt2len_path)
+            before = len(self.utts)
+            self.utts = [u for u in self.utts if utt2len.get(u.utt, 0) >= min_len]
+            if len(self.utts) < before:
+                import logging
+
+                logging.info("HifiGanDataset: filtered %d/%d utts shorter than "
+                             "%d samples", before - len(self.utts), before, min_len)
 
     def __len__(self) -> int:
         return len(self.utts)
@@ -113,9 +153,32 @@ class HifiGanDataset:
         u = self.utts[i]
         wav, rate = kaldi_data.load_wav_from_scp(u.wavspec)
         audio = normalize_audio(wav[0])
-        bn = self.bn_cache.get_or_compute(u.utt, lambda: self.bn_fn(audio[None, :]))
-        f0 = self.f0_cache.get_or_compute(u.utt, lambda: self.f0_fn(audio[None, :]))
+        bn = self.bn_cache.get_or_compute(u.utt, lambda: self._compute_bn(audio))
+        f0 = self.f0_cache.get_or_compute(u.utt, lambda: self._compute_f0(audio))
         return audio, np.asarray(bn), np.asarray(f0).reshape(-1), self.spk_index[u.spk]
+
+    def _compute_bn(self, audio: np.ndarray):
+        """Extract BN on a bucket-padded copy (one compile per bucket) and
+        crop to the utterance's exact frame count; the masked extractor makes
+        valid frames identical to a per-length run."""
+        from ..models.asrbn import bn_num_frames
+
+        T = len(audio)
+        if self._bn_takes_len:
+            out = self.bn_fn(_bucket_pad(audio, FEATURE_BUCKETS),
+                             np.asarray([T], np.int32))
+            return np.asarray(out)[..., : bn_num_frames(T)]
+        return self.bn_fn(audio[None, :])
+
+    def _compute_f0(self, audio: np.ndarray):
+        from ..models.asrbn import f0_num_frames
+
+        T = len(audio)
+        if self._f0_takes_len:
+            out = self.f0_fn(_bucket_pad(audio, FEATURE_BUCKETS),
+                             np.asarray([T], np.int32))
+            return np.asarray(out).reshape(-1)[: f0_num_frames(T)]
+        return self.f0_fn(audio[None, :])
 
     def __getitem__(self, i: int):
         """One aligned random segment: (audio [T], bn [C, T_bn], f0 [T_f0], spk)."""
@@ -128,6 +191,10 @@ class HifiGanDataset:
         order = list(range(len(self)))
         if shuffle:
             random.Random(1234 + epoch).shuffle(order)
+        # keep the tail: wrap around so every utterance is seen each epoch
+        # while batches stay exactly batch_size (static shapes)
+        if len(order) % batch_size and len(order) >= batch_size:
+            order += order[: batch_size - len(order) % batch_size]
         for i in range(0, len(order) - batch_size + 1, batch_size):
             items = [self[j] for j in order[i : i + batch_size]]
             audio = np.stack([a for a, _, _, _ in items])

@@ -97,8 +97,10 @@ def init_gan_state(anon_model: AnonymizationNet, anon_variables, rng,
     msd = MultiScaleDiscriminator()
     dummy = jnp.zeros((1, h.segment_size, 1))
     k1, k2 = jax.random.split(rng)
-    v_mpd = mpd.init(k1, dummy, dummy)
-    v_msd = msd.init(k2, dummy, dummy)
+    # jit the inits: eager per-op init of the big 2D convs is minutes on CPU
+    # (and worse through a remote-device tunnel); one compiled program is not
+    v_mpd = jax.jit(mpd.init)(k1, dummy, dummy)
+    v_msd = jax.jit(msd.init)(k2, dummy, dummy)
     params_g, frozen_g = split_generator_params(anon_variables)
     opt = _make_optim(h)
     params_d = {"mpd": v_mpd["params"], "msd": v_msd["params"]}
@@ -138,10 +140,8 @@ def make_gan_train_step(anon_model: AnonymizationNet,
     def train_step(state: GanTrainState, batch) -> Tuple[GanTrainState, Dict]:
         lr = h.lr * (h.lr_decay ** state.epoch.astype(jnp.float32))
         y = batch["audio"]
-        T = min(h.segment_size, h.segment_size)
 
         y_gen = gen_forward(state.params_g, state.frozen_g, batch)
-        tmin = jnp.minimum(y.shape[-1], y_gen.shape[-1])
         # shapes are static: trim both to the shorter (reference truncate,
         # hifigan/model.py:283-294)
         t_static = min(y.shape[-1], y_gen.shape[-1])
@@ -203,13 +203,50 @@ def make_gan_train_step(anon_model: AnonymizationNet,
 
 
 def _with_lr(opt_state, lr):
-    """Inject the current epoch-decayed lr into an inject_hyperparams state."""
-    try:
-        opt_state.hyperparams["learning_rate"] = lr
-    except Exception:
-        pass
+    """Inject the current epoch-decayed lr into an inject_hyperparams state
+    (the documented optax pattern: mutate .hyperparams before .update)."""
+    opt_state.hyperparams["learning_rate"] = lr
     return opt_state
 
 
-def gan_train_step(*args, **kwargs):
-    raise NotImplementedError("use make_gan_train_step(model, mpd, msd, h)")
+def make_gan_eval_step(anon_model: AnonymizationNet,
+                       h: GanHparams = GanHparams()) -> Callable:
+    """Jittable validation step: (params_g, frozen_g, batch) -> mel L1 error
+    (un-weighted), the reference's val_err (hifigan/model.py:454-472)."""
+    mel_kw = dict(n_fft=h.n_fft, num_mels=h.num_mels, sampling_rate=h.sampling_rate,
+                  hop_size=h.hop_size, win_size=h.win_size, fmin=h.fmin, fmax=h.fmax)
+
+    def eval_step(params_g, frozen_g, batch):
+        variables = merge_generator_params(params_g, frozen_g)
+        y_gen = anon_model.apply(variables, batch["f0"], batch["bn"], batch["spk"],
+                                 method=anon_model.forward_decoder)
+        y = batch["audio"]
+        t = min(y.shape[-1], y_gen.shape[-1])
+        mel_real = mel_spectrogram(y[:, :t], **mel_kw)
+        mel_gen = mel_spectrogram(y_gen[:, :t], **mel_kw)
+        return jnp.mean(jnp.abs(mel_real - mel_gen))
+
+    return eval_step
+
+
+def restore_gan_state(state: GanTrainState, g_variables, d_state, trainer_state,
+                      epoch: int, step: int) -> GanTrainState:
+    """Rebuild a GanTrainState from the g_/d_/trainer_ checkpoint triplet.
+
+    ``state`` is a freshly-initialized template providing the optax state
+    structure (reference resume: vc train.py:117-125 + hifigan/model.py:266-281).
+    """
+    from ..utils.checkpoint import restore_like
+
+    params_g, frozen_g = split_generator_params(g_variables)
+    return state.replace(
+        step=jnp.asarray(step, jnp.int32),
+        epoch=jnp.asarray(epoch, jnp.int32),
+        params_g=params_g,
+        frozen_g=frozen_g,
+        params_mpd=d_state["mpd"],
+        params_msd=d_state["msd"],
+        spectral_msd=restore_like(state.spectral_msd, d_state["spectral"]),
+        opt_g=restore_like(state.opt_g, trainer_state["opt_g"]),
+        opt_d=restore_like(state.opt_d, trainer_state["opt_d"]),
+    )

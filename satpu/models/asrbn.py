@@ -26,6 +26,7 @@ from .tdnnf import (
     TDNNFBatchNorm,
     VQBottleneck,
     get_padding,
+    mask_replicate_tail,
     pad_input_replicate,
 )
 
@@ -48,6 +49,9 @@ class TDNNFNetConfig:
     bottleneck: str = "none"
     codebook_size: int = 0  # for vq
     epsilon: float = 0.0  # laplace scale for dp (tdnnf_dp.py: noise b = 1/epsilon)
+    # NG-SGD preconditioning on every affine (chain/nn.py:54-137); enable for
+    # chain training, leave off for inference/converted checkpoints
+    natural_gradient: bool = False
 
 
 class DpLaplaceBottleneck(nn.Module):
@@ -79,7 +83,7 @@ class TDNNFNet(nn.Module):
 
         self.tdnn1 = TDNNFBatchNorm(
             c.num_mel_bins, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
-            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0,
+            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0, natural_gradient=c.natural_gradient,
             name="tdnn1")
 
         layers = []
@@ -87,7 +91,8 @@ class TDNNFNet(nn.Module):
             layers.append(TDNNFBatchNorm(
                 c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
                 context_len=ks[i], subsampling_factor=ss[i],
-                orthonormal_constraint=-1.0, name=f"tdnnf{i}"))
+                orthonormal_constraint=-1.0,
+            natural_gradient=c.natural_gradient, name=f"tdnnf{i}"))
         # BN layer (stage-1 prefinal): optional VQ / DP bottleneck
         if c.bottleneck == "vq":
             bfunc = VQBottleneck(c.codebook_size, c.prefinal_bottleneck_dim, name="vq_bottleneck")
@@ -98,7 +103,8 @@ class TDNNFNet(nn.Module):
         layers.append(TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
             context_len=ks[-1], subsampling_factor=ss[-1], orthonormal_constraint=-1.0,
-            bypass_scale=0.0, bottleneck_func=bfunc, name="tdnnf_bn"))
+            bypass_scale=0.0, bottleneck_func=bfunc,
+            natural_gradient=c.natural_gradient, name="tdnnf_bn"))
         self.tdnnfs = layers
 
         after = []
@@ -107,23 +113,39 @@ class TDNNFNet(nn.Module):
             after.append(TDNNFBatchNorm(
                 c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
                 context_len=ksa[i], subsampling_factor=ssa[i],
-                orthonormal_constraint=-1.0, name=f"tdnnf_after{i}"))
+                orthonormal_constraint=-1.0,
+            natural_gradient=c.natural_gradient, name=f"tdnnf_after{i}"))
         self.tdnnfs_after = after
 
         self.prefinal_chain = TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
-            context_len=1, orthonormal_constraint=-1.0, name="prefinal_chain")
+            context_len=1, orthonormal_constraint=-1.0,
+            natural_gradient=c.natural_gradient, name="prefinal_chain")
         self.prefinal_xent = TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
-            context_len=1, orthonormal_constraint=-1.0, name="prefinal_xent")
-        self.chain_output = NaturalAffineTransform(c.output_dim, name="chain_output")
-        self.xent_output = NaturalAffineTransform(c.output_dim, name="xent_output")
+            context_len=1, orthonormal_constraint=-1.0,
+            natural_gradient=c.natural_gradient, name="prefinal_xent")
+        self.chain_output = NaturalAffineTransform(
+            c.output_dim, natural_gradient=c.natural_gradient, name="chain_output")
+        self.xent_output = NaturalAffineTransform(
+            c.output_dim, natural_gradient=c.natural_gradient, name="xent_output")
 
-    def features(self, wav: jnp.ndarray) -> jnp.ndarray:
-        """[B, T] audio in [-1, 1] -> padded CMVN fbank [B, T', 80]."""
+    def features(self, wav: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """[B, T] audio in [-1, 1] -> padded CMVN fbank [B, T', 80].
+
+        ``lengths`` ([B] valid sample counts) makes a zero-padded bucket batch
+        produce the same valid frames as per-length runs: fbank frames past
+        each utterance are replaced by its last valid frame and CMVN stats are
+        masked, so one compiled program serves a whole bucket."""
         x = wav * 32768.0
         x = kaldi_fbank(x, num_mel_bins=self.cfg.num_mel_bins, snip_edges=False)
-        x = utt_cmvn(x)
+        if lengths is not None:
+            feat_len = (lengths + 80) // 160
+            x = utt_cmvn(x, lengths=feat_len)
+            x = mask_replicate_tail(x, feat_len)
+        else:
+            x = utt_cmvn(x)
         return pad_input_replicate(x, self.padding)
 
     def _dropout(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -133,9 +155,10 @@ class TDNNFNet(nn.Module):
             return jnp.where(mask, x / keep, 0.0)
         return x
 
-    def __call__(self, wav: jnp.ndarray, train: bool = False):
+    def __call__(self, wav: jnp.ndarray, train: bool = False,
+                 lengths: Optional[jnp.ndarray] = None):
         """Returns (chain_out [B, T_sub, pdf], xent log-softmax)."""
-        x = self.features(wav)
+        x = self.features(wav, lengths)
         x = self.tdnn1(x, train=train)
         x = self._dropout(x, train)
         for layer in self.tdnnfs:
@@ -151,10 +174,11 @@ class TDNNFNet(nn.Module):
         xent_out = self.xent_output(xent_prefinal)
         return chain_out, jax.nn.log_softmax(xent_out, axis=2)
 
-    def extract_bn(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def extract_bn(self, wav: jnp.ndarray, train: bool = False,
+                   lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """[B, T] audio -> [B, T_bn, 256] linguistic bottleneck
         (tuning/tdnnf.py:156-177)."""
-        x = self.features(wav)
+        x = self.features(wav, lengths)
         x = self.tdnn1(x, train=train)
         for layer in self.tdnnfs[:-1]:
             x = layer(x, train=train)
@@ -191,14 +215,15 @@ class Wav2Vec2TDNNFNet(nn.Module):
 
         self.tdnn1 = TDNNFBatchNorm(
             input_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
-            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0,
+            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0, natural_gradient=c.natural_gradient,
             name="tdnn1")
         layers = []
         for i in range(1, len(ks) - 1):
             layers.append(TDNNFBatchNorm(
                 c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
                 context_len=ks[i], subsampling_factor=ss[i],
-                orthonormal_constraint=-1.0, name=f"tdnnf{i}"))
+                orthonormal_constraint=-1.0,
+            natural_gradient=c.natural_gradient, name=f"tdnnf{i}"))
         bfunc = (VQBottleneck(c.codebook_size, c.prefinal_bottleneck_dim,
                               name="vq_bottleneck") if c.bottleneck == "vq" else
                  DpLaplaceBottleneck(c.epsilon, name="dp_bottleneck")
@@ -206,7 +231,8 @@ class Wav2Vec2TDNNFNet(nn.Module):
         layers.append(TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
             context_len=ks[-1], subsampling_factor=ss[-1], orthonormal_constraint=-1.0,
-            bypass_scale=0.0, bottleneck_func=bfunc, name="tdnnf_bn"))
+            bypass_scale=0.0, bottleneck_func=bfunc,
+            natural_gradient=c.natural_gradient, name="tdnnf_bn"))
         self.tdnnfs = layers
         after = []
         ksa, ssa = list(c.kernel_size_list_after), list(c.subsampling_factor_list_after)
@@ -214,16 +240,21 @@ class Wav2Vec2TDNNFNet(nn.Module):
             after.append(TDNNFBatchNorm(
                 c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
                 context_len=ksa[i], subsampling_factor=ssa[i],
-                orthonormal_constraint=-1.0, name=f"tdnnf_after{i}"))
+                orthonormal_constraint=-1.0,
+            natural_gradient=c.natural_gradient, name=f"tdnnf_after{i}"))
         self.tdnnfs_after = after
         self.prefinal_chain = TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
-            context_len=1, orthonormal_constraint=-1.0, name="prefinal_chain")
+            context_len=1, orthonormal_constraint=-1.0,
+            natural_gradient=c.natural_gradient, name="prefinal_chain")
         self.prefinal_xent = TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
-            context_len=1, orthonormal_constraint=-1.0, name="prefinal_xent")
-        self.chain_output = NaturalAffineTransform(c.output_dim, name="chain_output")
-        self.xent_output = NaturalAffineTransform(c.output_dim, name="xent_output")
+            context_len=1, orthonormal_constraint=-1.0,
+            natural_gradient=c.natural_gradient, name="prefinal_xent")
+        self.chain_output = NaturalAffineTransform(
+            c.output_dim, natural_gradient=c.natural_gradient, name="chain_output")
+        self.xent_output = NaturalAffineTransform(
+            c.output_dim, natural_gradient=c.natural_gradient, name="xent_output")
 
     def features(self, wav: jnp.ndarray) -> jnp.ndarray:
         x = self.preprocessor(wav)  # [B, T', 1024], /320 after padding below
@@ -260,3 +291,26 @@ def wav2vec2_tdnnf_config(output_dim: int = 3280, bottleneck: str = "none",
         kernel_size_list_after=(1, 3, 3, 3),
         subsampling_factor_list_after=(1.5, 1, 1, 1),
         bottleneck=bottleneck, codebook_size=codebook_size)
+
+
+def fbank_num_frames(num_samples: int) -> int:
+    """kaldi fbank frame count, snip_edges=False (satpu.ops.fbank)."""
+    return (num_samples + 80) // 160
+
+
+def bn_num_frames(num_samples: int) -> int:
+    """extract_bn output frames for a given sample count (stage-1 TDNNF
+    subsampling /2 with replicate padding)."""
+    return (fbank_num_frames(num_samples) + 1) // 2
+
+
+def output_num_frames(num_samples: int) -> int:
+    """Chain-head output frames (net subsampling /3; exact empirical form of
+    the /2 then /1.5 unfold arithmetic)."""
+    return max((fbank_num_frames(num_samples) - 2) // 3, 0)
+
+
+def f0_num_frames(num_samples: int) -> int:
+    """YAAPT frame count for satpu.ops.yaapt with the anonymizer options
+    (frame_space 20ms at 16k): len(range(280, T + 280, 320))."""
+    return (num_samples + 319) // 320

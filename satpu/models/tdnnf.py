@@ -52,6 +52,20 @@ def pad_input_replicate(x: jnp.ndarray, pad_amount: int) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=1)
 
 
+def mask_replicate_tail(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Replace frames past each utterance's valid length with its last valid
+    frame: x[b, t] = x[b, min(t, len_b - 1)].
+
+    This makes a zero-padded batch behave like per-utterance replicate edge
+    padding, so one compiled program per BUCKET (not per exact length) yields
+    the same valid-frame outputs — the static-shape recipe of SURVEY.md §5.7.
+    x: [B, T, ...]; lengths: [B] valid frame counts."""
+    T = x.shape[1]
+    idx = jnp.minimum(jnp.arange(T)[None, :], jnp.maximum(lengths[:, None] - 1, 0))
+    return jnp.take_along_axis(
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)).astype(jnp.int32), axis=1)
+
+
 def splice_frames(x: jnp.ndarray, context_len: int, subsampling_factor: float) -> jnp.ndarray:
     """The reference's unfold splicing (chain/nn.py:268-273).
 
@@ -75,14 +89,20 @@ def splice_frames(x: jnp.ndarray, context_len: int, subsampling_factor: float) -
 
 
 class NaturalAffineTransform(nn.Module):
-    """Affine layer with torch layout weight [out, in], bias [1, out].
+    """Affine layer with torch layout weight [out, in], bias [1, out]
+    (chain/nn.py:54-137).
 
-    NG-SGD preconditioning is handled by the optimizer, keeping the forward a
-    pure matmul for the MXU.
+    With ``natural_gradient=True`` the layer runs through
+    ``ngsgd.nat_affine``: the forward stays a pure matmul for the MXU, while
+    the backward preconditions the weight/bias gradients with Kaldi's online
+    natural gradient. The preconditioner states live in the mutable
+    ``ng_state`` collection; the train step recovers their updates from the
+    gradient pytree (see satpu.chain.ngsgd docstring).
     """
 
     out_dim: int
     use_bias: bool = True
+    natural_gradient: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -92,6 +112,20 @@ class NaturalAffineTransform(nn.Module):
             "weight", lambda key, shape: jax.random.normal(key, shape) * scale,
             (self.out_dim, feat_dim),
         )
+        # engage NG only when the ng_state collection is live (training);
+        # inference on an NG-trained checkpoint falls back to a plain matmul
+        if (self.natural_gradient and self.use_bias
+                and (self.is_initializing() or self.has_variable("ng_state", "in"))):
+            from ..chain.ngsgd import nat_affine, ng_init_arrays
+
+            bias = self.param("bias", nn.initializers.normal(1.0), (1, self.out_dim))
+            in_st = self.variable("ng_state", "in",
+                                  lambda: ng_init_arrays(feat_dim + 1))
+            out_st = self.variable("ng_state", "out",
+                                   lambda: ng_init_arrays(self.out_dim))
+            y2d = nat_affine(x.reshape(-1, feat_dim), weight, bias,
+                             in_st.value, out_st.value)
+            return y2d.reshape(*x.shape[:-1], self.out_dim)
         y = jnp.einsum("...i,oi->...o", x, weight)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.normal(1.0), (1, self.out_dim))
@@ -106,10 +140,13 @@ class OrthonormalLinear(nn.Module):
     out_dim: int
     scale: float = 0.0
     use_bias: bool = True
+    natural_gradient: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return NaturalAffineTransform(self.out_dim, self.use_bias, name="inner_nat")(x)
+        return NaturalAffineTransform(self.out_dim, self.use_bias,
+                                      natural_gradient=self.natural_gradient,
+                                      name="inner_nat")(x)
 
 
 def constrain_orthonormal(M: jnp.ndarray, scale: float, update_speed: float = 0.125) -> jnp.ndarray:
@@ -179,11 +216,14 @@ class TDNNF(nn.Module):
     orthonormal_constraint: float = 0.0
     bypass_scale: float = 0.66
     bottleneck_func: Optional[Callable] = None  # e.g. a VQ layer's apply
+    natural_gradient: bool = False
 
     def setup(self):
         self.linearB = OrthonormalLinear(
-            self.bottleneck_dim, scale=self.orthonormal_constraint, name="linearB")
-        self.linearA = NaturalAffineTransform(self.output_dim, name="linearA")
+            self.bottleneck_dim, scale=self.orthonormal_constraint,
+            natural_gradient=self.natural_gradient, name="linearB")
+        self.linearA = NaturalAffineTransform(
+            self.output_dim, natural_gradient=self.natural_gradient, name="linearA")
         self.use_bypass = self.bypass_scale > 0.0 and self.feat_dim == self.output_dim
 
     def _bypass(self, x: jnp.ndarray, inp: jnp.ndarray) -> jnp.ndarray:
@@ -241,6 +281,7 @@ class TDNNFBatchNorm(nn.Module):
     orthonormal_constraint: float = 0.0
     bypass_scale: float = 0.66
     bottleneck_func: Optional[Callable] = None
+    natural_gradient: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_bottleneck: bool = False,
@@ -250,6 +291,7 @@ class TDNNFBatchNorm(nn.Module):
             context_len=self.context_len, subsampling_factor=self.subsampling_factor,
             orthonormal_constraint=self.orthonormal_constraint,
             bypass_scale=self.bypass_scale, bottleneck_func=self.bottleneck_func,
+            natural_gradient=self.natural_gradient,
             name="tdnn",
         )(x, return_bottleneck=return_bottleneck, train=train)
         if return_bottleneck:

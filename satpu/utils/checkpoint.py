@@ -26,7 +26,18 @@ from flax import serialization
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Plain nested dicts/lists of numpy arrays: optax namedtuple states are
+    tuple subclasses msgpack refuses under strict_types, so containers are
+    normalized (restore_like pours them back by leaf order)."""
+    if isinstance(tree, dict):
+        return {k: _to_numpy(v) for k, v in tree.items()}
+    if hasattr(tree, "items"):  # FrozenDict / Mappings
+        return {k: _to_numpy(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_to_numpy(v) for v in tree]
+    if tree is None:
+        return None
+    return np.asarray(tree)
 
 
 def save_checkpoint(path: str, meta: Dict[str, Any], state: Dict[str, Any]) -> None:
@@ -49,6 +60,19 @@ def load_checkpoint(path: str):
         payload = serialization.msgpack_restore(f.read())
     meta = json.loads(payload["meta_json"])
     return meta, payload["state"]
+
+
+def restore_like(template, loaded):
+    """Pour a loaded (dicts/lists-of-arrays) pytree back into the structure of
+    ``template`` — optax namedtuple states round-trip through msgpack as
+    lists, so restore by leaf order. Leaf counts must match."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    new_leaves = jax.tree_util.tree_leaves(loaded)
+    if len(leaves) != len(new_leaves):
+        raise ValueError(
+            f"checkpoint structure mismatch: template has {len(leaves)} leaves, "
+            f"loaded state has {len(new_leaves)}")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
 def latest_checkpoint(exp_dir: str, prefix: str = "", suffix: str = ".ckpt") -> Optional[str]:
