@@ -3,14 +3,20 @@ egs/asr/librispeech/local/chain/train.py iteration flow collapsed into one
 mesh-parallel process (no run.pl job fan-out / merge averaging; see
 satpu.chain.trainer docstring).
 
-Stages (mirroring the reference's --stage gates):
-  4: init model
-  6: training iterations with exponential LR + periodic diagnostics +
-     orthonormal-constraint application
-  8: final model save
+Capabilities mirrored from the reference driver:
+- exponential LR decay actually applied through the optimizer
+  (script_utils.py:32-82 semantics)
+- NG-SGD preconditioning on every NaturalAffineTransform
+  (chain/objf.py:147-228) — on by default like the reference
+- resume from the latest trainer checkpoint (params + optimizer + NG states;
+  asr train.py:195-206)
+- periodic valid-set diagnostics (asr train.py:307-315)
+- final_combination: best-objf moving-average of the last checkpoints
+  (chain/model.py:347-434)
 
-Inputs are kaldi-prepared artifacts: wav.scp, fst_train.scp (per-utt
-numerator FSTs), utt2len, den.fst (+ optional normalization.fst), num_pdfs.
+Inputs are kaldi-prepared artifacts (wav.scp, fst_train.scp per-utt numerator
+FSTs, utt2len, den.fst, num_pdfs) — or artifacts produced by
+``satpu.chain.prep`` from a plain data dir.
 
 Usage:
   python -m satpu.bin.train_asr --config egs/asr/librispeech/configs/tdnnf.ini
@@ -20,6 +26,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
+import math
 import os
 import sys
 
@@ -27,15 +34,17 @@ import numpy as np
 
 from ..utils import checkpoint as ckpt
 from ..utils import config as cfg
-from ..utils.schedules import get_learning_rate
 
 
 @dataclasses.dataclass
 class TrainAsrOpts(cfg.Opts):
     dirname: str = "exp/chain"
     train_set: str = ""  # data dir containing wav.scp/utt2len
+    valid_set: str = ""  # optional held-out data dir (wav.scp/utt2len)
     fst_scp: str = ""  # numerator fsts
+    valid_fst_scp: str = ""
     den_fst: str = ""
+    normalization_fst: str = ""
     num_pdfs: int = 0
     model: str = "tdnnf"  # tdnnf | tdnnf_vq | tdnnf_dp
     hidden_dim: int = 1024
@@ -47,12 +56,14 @@ class TrainAsrOpts(cfg.Opts):
     num_epochs: int = 5
     lr_initial: float = 0.001
     lr_final: float = 0.0001
+    natural_gradient: bool = True
     grad_acc_steps: int = 1
     xent_regularize: float = 0.025
     l2_regularize: float = 1e-4
     leaky_hmm_coefficient: float = 1e-5
     checkpoint_interval: int = 100
     diagnostics_interval: int = 50
+    final_combination_n: int = 5
     train_stage: str = "0"
 
 
@@ -70,6 +81,7 @@ def main(argv=None):
     opts.load_from_args(rest)
 
     import jax
+    import jax.numpy as jnp
 
     from .. import infer_helper
     from ..chain.dataset import BucketBatchSampler, EgsDataset
@@ -77,22 +89,36 @@ def main(argv=None):
     from ..chain.objf import DenominatorGraph
     from ..chain.trainer import (ChainTrainOpts, apply_orthonormal_constraint,
                                  init_chain_state, make_chain_optimizer,
-                                 make_chain_train_step)
+                                 make_chain_train_step, make_chain_valid_step,
+                                 merge_models)
     from ..models.asrbn import TDNNFNet, TDNNFNetConfig
+    from ..utils.checkpoint import restore_like
+    from ..utils.metrics import MetricsWriter, profile_steps
 
     os.makedirs(opts.dirname, exist_ok=True)
     den = DenominatorGraph.from_fst(Fst.read(opts.den_fst), num_pdfs=opts.num_pdfs)
+    norm_fst = opts.normalization_fst or None
     ds = EgsDataset(os.path.join(opts.train_set, "wav.scp"), opts.fst_scp,
-                    os.path.join(opts.train_set, "utt2len"))
+                    os.path.join(opts.train_set, "utt2len"),
+                    normalization_fst=norm_fst)
     removed = ds.filter_min_path()
     logging.info("egs: %d utts (%d removed by min-path check)", len(ds), removed)
+
+    valid_ds = None
+    if opts.valid_set and opts.valid_fst_scp:
+        valid_ds = EgsDataset(os.path.join(opts.valid_set, "wav.scp"),
+                              opts.valid_fst_scp,
+                              os.path.join(opts.valid_set, "utt2len"),
+                              normalization_fst=norm_fst)
+        valid_ds.filter_min_path()
 
     bottleneck = ("vq" if opts.model == "tdnnf_vq" else
                   "dp" if opts.model == "tdnnf_dp" else "none")
     mcfg = TDNNFNetConfig(output_dim=opts.num_pdfs, bottleneck=bottleneck,
                           hidden_dim=opts.hidden_dim, bottleneck_dim=opts.bottleneck_dim,
                           prefinal_bottleneck_dim=opts.prefinal_bottleneck_dim,
-                          codebook_size=opts.codebook_size, epsilon=opts.dp_epsilon)
+                          codebook_size=opts.codebook_size, epsilon=opts.dp_epsilon,
+                          natural_gradient=opts.natural_gradient)
     model = TDNNFNet(mcfg)
 
     topts = ChainTrainOpts(lr=opts.lr_initial, xent_regularize=opts.xent_regularize,
@@ -102,41 +128,130 @@ def main(argv=None):
     state = init_chain_state(model, jax.random.PRNGKey(0),
                              np.zeros((2, 32000), np.float32), optimizer)
     sampler = BucketBatchSampler(ds, opts.minibatch_size)
-    steps_per_epoch = len(sampler)
+    steps_per_epoch = max(len(sampler), 1)
     total_steps = steps_per_epoch * opts.num_epochs
 
+    # exponential decay lr_initial -> lr_final over the run, traceable
+    # (script_utils.py get_learning_rate "exponential" with num_jobs=1)
+    log_ratio = math.log(opts.lr_final / opts.lr_initial)
+
     def lr_at(step):
-        return get_learning_rate(
-            int(step), 1, total_steps, int(step), total_steps,
-            opts.lr_initial, opts.lr_final, "exponential")
+        frac = jnp.minimum(step / float(total_steps), 1.0)
+        return opts.lr_initial * jnp.exp(frac * log_ratio)
 
-    step_fn = jax.jit(make_chain_train_step(model, den, optimizer, topts))
-    steps = 0
-    import jax.numpy as jnp
+    step_fn = jax.jit(make_chain_train_step(model, den, optimizer, topts,
+                                            lr_schedule=lr_at))
+    valid_fn = jax.jit(make_chain_valid_step(model, den, topts))
+    metrics_log = MetricsWriter(opts.dirname)
 
-    for epoch in range(opts.num_epochs):
+    # ---- resume ----
+    steps, start_epoch = 0, 0
+    last = ckpt.latest_checkpoint(opts.dirname, "trainer_")
+    if last:
+        meta, tstate = ckpt.load_checkpoint(last)
+        steps = meta.get("steps", 0)
+        start_epoch = meta.get("epoch", 0)
+        mpath = os.path.join(opts.dirname, f"{steps}.ckpt")
+        _, mstate = ckpt.load_checkpoint(mpath)
+        variables = mstate["variables"]
+        state = state.replace(
+            step=jnp.asarray(steps, jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+            vq_stats=variables.get("vq_stats", state.vq_stats),
+            opt_state=restore_like(state.opt_state, tstate["opt_state"]),
+            ng_state=(restore_like(state.ng_state, tstate["ng_state"])
+                      if tstate.get("ng_state") else state.ng_state))
+        logging.info("resuming from %s (epoch %d, step %d)", last, start_epoch, steps)
+
+    def run_diagnostics(epoch, steps, metrics):
+        logging.info("epoch %d step %d objf %.4f (num %.3f den %.3f) lr %.5f",
+                     epoch, steps, float(metrics["chain_objf"]),
+                     float(metrics["num_logprob"]), float(metrics["den_logprob"]),
+                     float(metrics.get("lr", lr_at(steps))))
+        scal = {k: float(v) for k, v in metrics.items()}
+        if valid_ds is not None:
+            v = compute_valid_objf(valid_fn, state, valid_ds, opts.minibatch_size)
+            if v is not None:
+                scal["valid_objf"] = v
+                logging.info("  valid objf %.4f", v)
+        metrics_log.write(steps, scal, epoch=epoch)
+
+    for epoch in range(start_epoch, opts.num_epochs):
         sampler.set_epoch(epoch)
-        for batch_idx in sampler:
-            wavs, graphs, frames, _ = ds.load_batch(batch_idx)
-            graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
-            state, metrics = step_fn(state, wavs, graphs, jnp.asarray(frames),
-                                     jax.random.PRNGKey(steps))
-            steps += 1
-            if steps % 4 == 0:
-                state = state.replace(
-                    params=apply_orthonormal_constraint(state.params))
-            if steps % opts.diagnostics_interval == 0:
-                logging.info("epoch %d step %d objf %.4f (num %.3f den %.3f) lr %.5f",
-                             epoch, steps, float(metrics["chain_objf"]),
-                             float(metrics["num_logprob"]),
-                             float(metrics["den_logprob"]), lr_at(steps))
-            if steps % opts.checkpoint_interval == 0:
-                _save(opts, mcfg, state, steps)
-    _save(opts, mcfg, state, steps, final=True)
+        with profile_steps(opts.dirname):
+            for batch_idx in sampler:
+                wavs, graphs, frames, _ = ds.load_batch(batch_idx)
+                graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
+                state, metrics = step_fn(state, wavs, graphs, jnp.asarray(frames),
+                                         jax.random.PRNGKey(steps))
+                steps += 1
+                if steps % 4 == 0:
+                    state = state.replace(
+                        params=apply_orthonormal_constraint(state.params))
+                if steps % opts.diagnostics_interval == 0:
+                    run_diagnostics(epoch, steps, metrics)
+                if steps % opts.checkpoint_interval == 0:
+                    _save(opts, mcfg, state, steps, epoch)
+        _save(opts, mcfg, state, steps, epoch + 1)
+
+    # ---- final combination (chain/model.py:347-434): average the last n
+    # checkpoints for n = 1..N, pick the best valid objf ----
+    state = final_combination(opts, mcfg, model, state, valid_fn, valid_ds,
+                              merge_models)
+    _save(opts, mcfg, state, steps, opts.num_epochs, final=True)
     return 0
 
 
-def _save(opts, mcfg, state, steps, final=False):
+def compute_valid_objf(valid_fn, state, valid_ds, minibatch_size, max_batches=8):
+    from ..chain.dataset import BucketBatchSampler
+    import jax.numpy as jnp
+
+    sampler = BucketBatchSampler(valid_ds, minibatch_size)
+    vals, weights = [], []
+    for bi, batch_idx in enumerate(sampler):
+        if bi >= max_batches:
+            break
+        wavs, graphs, frames, _ = valid_ds.load_batch(batch_idx)
+        graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
+        m = valid_fn(state.params, state.batch_stats, state.vq_stats, wavs,
+                     graphs, jnp.asarray(frames))
+        vals.append(float(m["chain_objf"]))
+        weights.append(len(batch_idx))
+    if not vals:
+        return None
+    return sum(v * w for v, w in zip(vals, weights)) / sum(weights)
+
+
+def final_combination(opts, mcfg, model, state, valid_fn, valid_ds, merge_models):
+    if valid_ds is None or opts.final_combination_n <= 1:
+        return state
+    import logging
+
+    cands = []
+    for name in sorted(os.listdir(opts.dirname)):
+        base = name[: -len(".ckpt")] if name.endswith(".ckpt") else ""
+        if base.isdigit():
+            cands.append((int(base), os.path.join(opts.dirname, name)))
+    cands = [p for _, p in sorted(cands)[-opts.final_combination_n:]]
+    if len(cands) < 2:
+        return state
+    trees = []
+    for p in cands:
+        _, mstate = ckpt.load_checkpoint(p)
+        trees.append(mstate["variables"]["params"])
+    best_v, best_params = None, state.params
+    for n in range(1, len(trees) + 1):
+        avg = merge_models(trees[-n:])
+        cand_state = state.replace(params=avg)
+        v = compute_valid_objf(valid_fn, cand_state, valid_ds, opts.minibatch_size)
+        logging.info("final_combination: last %d ckpts -> valid objf %s", n, v)
+        if v is not None and (best_v is None or v > best_v):
+            best_v, best_params = v, avg
+    return state.replace(params=best_params)
+
+
+def _save(opts, mcfg, state, steps, epoch, final=False):
     from .. import infer_helper
 
     name = "final.ckpt" if final else f"{steps}.ckpt"
@@ -146,7 +261,14 @@ def _save(opts, mcfg, state, steps, final=False):
     infer_helper.save_model(os.path.join(opts.dirname, name), "asrbn_tdnnf",
                             dataclasses.asdict(mcfg), variables,
                             extra_meta={"steps": steps})
-    ckpt.checkpoint_gc(opts.dirname, "", keep_last=10)
+    if not final:
+        ckpt.save_checkpoint(
+            os.path.join(opts.dirname, f"trainer_{steps}.ckpt"),
+            {"steps": steps, "epoch": epoch},
+            {"opt_state": state.opt_state,
+             "ng_state": state.ng_state if state.ng_state else {}})
+    for prefix in ("", "trainer_"):
+        ckpt.checkpoint_gc(opts.dirname, prefix, keep_last=10)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,8 @@ rescales the weight/bias gradients; chain/objf.py:181-228).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import functools
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -122,7 +123,72 @@ def ng_precondition_grad(state_in: NGState, state_out: NGState,
     X = jnp.concatenate([inputs, jnp.ones((N, 1), inputs.dtype)], axis=1)
     state_in, X_hat, in_scale = precondition_directions(state_in, X)
     state_out, G_hat, out_scale = precondition_directions(state_out, grad_output)
-    scale = in_scale * out_scale / (in_scale * out_scale)  # scales already folded
-    grad_weight = G_hat.T @ X_hat[:, :-1]
-    grad_bias = G_hat.T @ X_hat[:, -1]
+    # X_hat/G_hat already carry gamma (= in_scale / out_scale) folded in; the
+    # reference multiplies grad_output AND the final grads by
+    # in_scale*out_scale on top of the preconditioned matrices
+    # (chain/objf.py:221-227), i.e. an effective (in_scale*out_scale)^2 on the
+    # raw product — mirrored here for training parity.
+    scale = in_scale * out_scale
+    grad_weight = (G_hat.T @ X_hat[:, :-1]) * scale
+    grad_bias = (G_hat.T @ X_hat[:, -1]) * scale
     return state_in, state_out, grad_weight, grad_bias
+
+
+# ---------------------------------------------------------------------------
+# NG-SGD inside the training graph: a custom_vjp affine whose backward
+# preconditions the weight/bias gradients AND emits the updated preconditioner
+# states as the cotangent of the state inputs. The train step differentiates
+# the loss w.r.t. (params, ng_states); the "gradient" of the ng_states slot IS
+# the new state — a pure-functional rendering of the reference's stateful
+# autograd.Function (chain/objf.py:147-228) that stays jit/SPMD-friendly.
+# ---------------------------------------------------------------------------
+
+
+def ng_init_arrays(dim: int, rank: int = None) -> Dict[str, jnp.ndarray]:
+    """Arrays-only NGState (float32 throughout, ``t`` included so the whole
+    dict can ride a gradient pytree)."""
+    s = ng_init(dim, rank=rank)
+    return {"W": s.W.astype(jnp.float32), "d": s.d.astype(jnp.float32),
+            "rho": jnp.asarray(s.rho, jnp.float32),
+            "t": jnp.zeros((), jnp.float32)}
+
+
+def _state_from_arrays(a: Dict[str, jnp.ndarray], hyper) -> NGState:
+    alpha, nsh, period = hyper
+    return NGState(W=a["W"], d=a["d"], rho=a["rho"],
+                   t=a["t"].astype(jnp.int32), alpha=alpha,
+                   num_samples_history=nsh, update_period=period)
+
+
+def _arrays_from_state(s: NGState) -> Dict[str, jnp.ndarray]:
+    return {"W": s.W, "d": s.d, "rho": jnp.asarray(s.rho, jnp.float32),
+            "t": s.t.astype(jnp.float32)}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def nat_affine(x2d, weight, bias, in_state, out_state, hyper=(4.0, 2000.0, 4)):
+    """y = x2d @ weight.T + bias with NG-SGD-preconditioned weight gradients.
+
+    x2d [N, D_in]; weight [D_out, D_in] (torch layout); bias [1, D_out];
+    in_state/out_state: ng_init_arrays dicts (in_state dim = D_in + 1).
+    The cotangents returned for in_state/out_state are the UPDATED states.
+    """
+    return x2d @ weight.T + bias[0]
+
+
+def _nat_affine_fwd(x2d, weight, bias, in_state, out_state, hyper):
+    y = x2d @ weight.T + bias[0]
+    return y, (x2d, weight, in_state, out_state)
+
+
+def _nat_affine_bwd(hyper, res, g):
+    x2d, weight, in_arrays, out_arrays = res
+    grad_x = g @ weight  # from the RAW grad, before preconditioning (objf.py:205-208)
+    s_in = _state_from_arrays(in_arrays, hyper)
+    s_out = _state_from_arrays(out_arrays, hyper)
+    s_in2, s_out2, grad_w, grad_b = ng_precondition_grad(s_in, s_out, x2d, g)
+    return (grad_x, grad_w, grad_b[None, :],
+            _arrays_from_state(s_in2), _arrays_from_state(s_out2))
+
+
+nat_affine.defvjp(_nat_affine_fwd, _nat_affine_bwd)

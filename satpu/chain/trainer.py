@@ -44,6 +44,9 @@ class ChainTrainState:
     batch_stats: Any
     vq_stats: Any
     opt_state: Any
+    # NG-SGD preconditioner states, one (in, out) pair per NaturalAffineTransform
+    # (empty dict when cfg.natural_gradient is off)
+    ng_state: Any = flax.struct.field(default_factory=dict)
 
 
 def make_chain_optimizer(opts: ChainTrainOpts):
@@ -62,6 +65,7 @@ def init_chain_state(model, rng, example_wav, optimizer) -> ChainTrainState:
         batch_stats=variables.get("batch_stats", {}),
         vq_stats=variables.get("vq_stats", {}),
         opt_state=optimizer.init(variables["params"]),
+        ng_state=variables.get("ng_state", {}),
     )
 
 
@@ -76,10 +80,14 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
     """
 
     def train_step(state: ChainTrainState, wav, num_graphs, num_frames, rng):
-        def loss_fn(params):
+        use_ng = bool(state.ng_state)
+
+        def loss_fn(params, ng_state):
             variables = {"params": params, "batch_stats": state.batch_stats}
             if state.vq_stats:
                 variables["vq_stats"] = state.vq_stats
+            if use_ng:
+                variables["ng_state"] = ng_state
             mutable = ["batch_stats"] + (["vq_stats"] if state.vq_stats else [])
             (chain_out, xent_out), new_vars = model.apply(
                 variables, wav, train=True, mutable=mutable,
@@ -91,22 +99,61 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
                 xent_regularize=opts.xent_regularize)
             return loss, (metrics, new_vars)
 
-        (loss, (metrics, new_vars)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        # nat_affine's custom_vjp emits the UPDATED preconditioner states as
+        # the cotangent of the ng_state inputs: differentiating w.r.t. both
+        # slots yields (param grads, new NG states) in one backward pass.
+        (loss, (metrics, new_vars)), (grads, new_ng) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, state.ng_state)
+        opt_state = state.opt_state
         if lr_schedule is not None:
-            state.opt_state[1].hyperparams["learning_rate"] = lr_schedule(state.step)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            # optax.chain state is a tuple; slot 1 is the InjectHyperparamsState
+            inject = opt_state[1]._replace(
+                hyperparams={**inject_hparams(opt_state),
+                             "learning_rate": lr_schedule(state.step)})
+            opt_state = (opt_state[0], inject)
+        updates, opt_state = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1, params=params,
             batch_stats=new_vars.get("batch_stats", state.batch_stats),
             vq_stats=new_vars.get("vq_stats", state.vq_stats),
-            opt_state=opt_state)
+            opt_state=opt_state,
+            ng_state=new_ng if use_ng else state.ng_state)
         metrics = dict(metrics)
         metrics["loss"] = loss
+        if lr_schedule is not None:
+            metrics["lr"] = inject_hparams(opt_state)["learning_rate"]
         return new_state, metrics
 
     return train_step
+
+
+def inject_hparams(opt_state) -> Dict[str, Any]:
+    """The hyperparams dict of a make_chain_optimizer state."""
+    return opt_state[1].hyperparams
+
+
+def make_chain_valid_step(model, den: DenominatorGraph,
+                          opts: ChainTrainOpts = ChainTrainOpts()):
+    """Jittable diagnostics step: (params, batch_stats, vq_stats, wav,
+    num_graphs, num_frames) -> metrics (chain objf on held-out egs, the
+    reference's validate mode, chain/model.py:176-213)."""
+
+    def valid_step(params, batch_stats, vq_stats, wav, num_graphs, num_frames):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if vq_stats:
+            variables["vq_stats"] = vq_stats
+        chain_out, xent_out = model.apply(variables, wav, train=False)
+        loss, metrics = chain_objf_and_grad(
+            chain_out, xent_out, num_graphs, den, num_frames=num_frames,
+            leaky_hmm_coefficient=opts.leaky_hmm_coefficient,
+            l2_regularize=opts.l2_regularize,
+            xent_regularize=opts.xent_regularize)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    return valid_step
 
 
 def apply_orthonormal_constraint(params, scale: float = -1.0):
