@@ -23,7 +23,8 @@ import numpy as np
 
 from ..ops.augment import data_augmentation
 from ..utils import kaldi_data
-from .fst import Fst, fst_to_arrays, pad_graph_arrays, read_fst_kaldi
+from .fst import (Fst, fst_compose_acceptor, fst_to_arrays, pad_graph_arrays,
+                  read_fst_kaldi)
 
 
 def fst_min_path_length(fst: Fst) -> int:
@@ -72,13 +73,19 @@ class EgsDataset:
     def __init__(self, wav_scp: str, fst_scp: str, utt2len: str,
                  frame_subsampling: int = 3, samples_per_frame: int = 160,
                  transform_pipeline: Optional[Dict] = None,
-                 noise_db=None, rir_db=None, seed: int = 42):
+                 noise_db=None, rir_db=None, seed: int = 42,
+                 normalization_fst: Optional[str] = None):
         self.samples_per_frame = samples_per_frame
         self.frame_subsampling = frame_subsampling
         self.transform_pipeline = transform_pipeline
         self.noise_db = noise_db
         self.rir_db = rir_db
         self.rng = random.Random(seed)
+        # supervision normalization (reference chain/dataset.py:51-64): each
+        # numerator FST is intersected with normalization.fst so the chain
+        # objective matches Kaldi semantics
+        self.normalization_fst = (Fst.read(normalization_fst)
+                                  if normalization_fst else None)
         utt2wav = kaldi_data.read_wav_scp(wav_scp)
         utt2fst = kaldi_data.read_wav_scp(fst_scp)
         u2l = kaldi_data.read_utt2len_file(utt2len)
@@ -90,10 +97,11 @@ class EgsDataset:
         self.utt_index = {e.utt: i for i, e in enumerate(self.egs)}
 
     def output_frames(self, num_samples: int) -> int:
-        """Network output length for a given sample count (fbank
-        snip_edges=False -> /160, then /subsampling with ceil)."""
+        """Network output length for a given sample count — must match the
+        model's actual emission count (satpu.models.asrbn.output_num_frames:
+        fbank snip_edges=False /160, then the /2 x /1.5 unfold arithmetic)."""
         feats = (num_samples + 80) // 160
-        return (feats + self.frame_subsampling - 1) // self.frame_subsampling
+        return max((feats - 2) // self.frame_subsampling, 0)
 
     def filter_min_path(self) -> int:
         """Drop utterances whose numerator FST cannot fit the frame count
@@ -128,7 +136,14 @@ class EgsDataset:
                                       self.noise_db, self.rir_db, rng=self.rng)[0][:T]
             wavs[j, : len(x)] = x
             frames.append(self.output_frames(e.num_samples))
-            graphs.append(fst_to_arrays(e.load_fst()))
+            g = e.load_fst()
+            if self.normalization_fst is not None:
+                g = fst_compose_acceptor(g, self.normalization_fst)
+                if g.num_states == 0:
+                    raise ValueError(
+                        f"supervision for {e.utt} is empty after composing with "
+                        "normalization.fst (label mismatch?)")
+            graphs.append(fst_to_arrays(g))
         return (wavs, pad_graph_arrays(graphs),
                 np.asarray(frames, np.int32), [e.utt for e in egs])
 

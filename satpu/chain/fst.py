@@ -163,7 +163,43 @@ class Fst:
 
     @classmethod
     def _read_const_body(cls, f, start, num_states) -> "Fst":
-        raise NotImplementedError("const fst bodies not yet supported; use fstconvert")
+        """ConstFst<StdArc> body (openfst const-fst.h, version >= 2): the
+        state and arc arrays are 16-byte aligned relative to the absolute
+        stream position (MappedFile::kArchAlignment). Each ConstState is
+        (final f32, pos u32, narcs u32, niepsilons u32, noepsilons u32);
+        arcs are (ilabel, olabel, weight, nextstate). kaldi HCLG graphs are
+        commonly stored this way after fstconvert."""
+
+        def align16():
+            pos = f.tell()
+            pad = (-pos) % 16
+            if pad:
+                f.read(pad)
+
+        fst = cls()
+        for _ in range(max(num_states, 0)):
+            fst.add_state()
+        fst.start = max(start, 0)
+        align16()
+        sraw = np.frombuffer(f.read(20 * num_states), dtype=np.uint8).reshape(num_states, 20)
+        final_w = sraw[:, 0:4].copy().view("<f4")[:, 0]
+        pos_arr = sraw[:, 4:8].copy().view("<u4")[:, 0]
+        narcs_arr = sraw[:, 8:12].copy().view("<u4")[:, 0]
+        align16()
+        total_arcs = int(pos_arr[-1] + narcs_arr[-1]) if num_states else 0
+        araw = np.frombuffer(f.read(16 * total_arcs), dtype=np.uint8).reshape(total_arcs, 16)
+        il = araw[:, 0:4].copy().view("<i4")[:, 0]
+        ol = araw[:, 4:8].copy().view("<i4")[:, 0]
+        wt = araw[:, 8:12].copy().view("<f4")[:, 0]
+        ns = araw[:, 12:16].copy().view("<i4")[:, 0]
+        for s in range(num_states):
+            w = float(final_w[s])
+            fst.finals[s] = w if np.isfinite(w) else INF
+            lo, n = int(pos_arr[s]), int(narcs_arr[s])
+            fst.arcs[s] = [Arc(int(a), int(b), float(c), int(d))
+                           for a, b, c, d in zip(il[lo:lo+n], ol[lo:lo+n],
+                                                 wt[lo:lo+n], ns[lo:lo+n])]
+        return fst
 
     def write(self, path: str) -> None:
         with open(path, "wb") as f:
@@ -257,6 +293,107 @@ def pad_graph_arrays(graphs: List[GraphArrays]) -> Dict[str, np.ndarray]:
         out["num_states"][i] = g.num_states
         # padding arcs: self-loop on state 0 with -inf weight (already -inf)
     return out
+
+
+def fst_connect(fst: Fst) -> Fst:
+    """Trim states not reachable from start or not reaching a final state."""
+    n = fst.num_states
+    if n == 0:
+        return fst
+    fwd = [False] * n
+    stack = [fst.start]
+    fwd[fst.start] = True
+    while stack:
+        s = stack.pop()
+        for a in fst.arcs[s]:
+            if not fwd[a.nextstate]:
+                fwd[a.nextstate] = True
+                stack.append(a.nextstate)
+    # backward reachability over reversed arcs
+    rev: List[List[int]] = [[] for _ in range(n)]
+    for s in range(n):
+        for a in fst.arcs[s]:
+            rev[a.nextstate].append(s)
+    bwd = [False] * n
+    stack = [s for s in range(n) if fst.finals[s] != INF]
+    for s in stack:
+        bwd[s] = True
+    while stack:
+        s = stack.pop()
+        for p in rev[s]:
+            if not bwd[p]:
+                bwd[p] = True
+                stack.append(p)
+    keep = [s for s in range(n) if fwd[s] and bwd[s]]
+    remap = {s: i for i, s in enumerate(keep)}
+    out = Fst()
+    for _ in keep:
+        out.add_state()
+    if fst.start not in remap:
+        return out  # empty language
+    out.start = remap[fst.start]
+    for s in keep:
+        out.finals[remap[s]] = fst.finals[s]
+        for a in fst.arcs[s]:
+            if a.nextstate in remap:
+                out.add_arc(remap[s], Arc(a.ilabel, a.olabel, a.weight, remap[a.nextstate]))
+    return out
+
+
+def fst_compose_acceptor(a: Fst, b: Fst) -> Fst:
+    """Weighted intersection of two acceptors over the same label alphabet
+    (tropical semiring: weights add). Epsilon (ilabel 0) arcs in either side
+    move freely without consuming from the other (sufficient for
+    normalization graphs, whose epsilons only leave the start state). This is
+    the core of the reference's ``AddWeightToSupervisionFst`` supervision
+    normalization (kaldi chain-supervision; bound at csrc/pkwrap-main.h:113)."""
+    out = Fst()
+    state_map: Dict[Tuple[int, int], int] = {}
+
+    def get_state(sa: int, sb: int) -> int:
+        key = (sa, sb)
+        if key not in state_map:
+            state_map[key] = out.add_state()
+            fa, fb = a.finals[sa], b.finals[sb]
+            if fa != INF and fb != INF:
+                out.set_final(state_map[key], fa + fb)
+        return state_map[key]
+
+    out.start = get_state(a.start, b.start)
+    # b arcs indexed by (state, label) for fast matching
+    b_index: List[Dict[int, List[Arc]]] = []
+    for arcs in b.arcs:
+        d: Dict[int, List[Arc]] = {}
+        for arc in arcs:
+            d.setdefault(arc.ilabel, []).append(arc)
+        b_index.append(d)
+    stack = [(a.start, b.start)]
+    seen = {(a.start, b.start)}
+
+    def visit(key):
+        if key not in seen:
+            seen.add(key)
+            stack.append(key)
+
+    while stack:
+        sa, sb = stack.pop()
+        src = get_state(sa, sb)
+        for arc in a.arcs[sa]:
+            if arc.ilabel == 0:  # epsilon: advance a only
+                key = (arc.nextstate, sb)
+                out.add_arc(src, Arc(0, 0, arc.weight, get_state(*key)))
+                visit(key)
+                continue
+            for barc in b_index[sb].get(arc.ilabel, ()):
+                key = (arc.nextstate, barc.nextstate)
+                out.add_arc(src, Arc(arc.ilabel, arc.olabel,
+                                     arc.weight + barc.weight, get_state(*key)))
+                visit(key)
+        for barc in b_index[sb].get(0, ()):  # epsilon: advance b only
+            key = (sa, barc.nextstate)
+            out.add_arc(src, Arc(0, 0, barc.weight, get_state(*key)))
+            visit(key)
+    return fst_connect(out)
 
 
 def linear_fst_from_pdf_sequence(pdf_ids, self_loops: bool = True) -> Fst:
