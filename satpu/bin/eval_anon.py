@@ -32,6 +32,15 @@ class EvalOpts(cfg.Opts):
     decode_graph: str = ""  # HCLG-style fst
     words_txt: str = ""
     acoustic_scale: float = 1.0
+    batch_size: int = 8
+    beam: float = 16.0
+    lattice_beam: float = 8.0
+    max_active: int = 7000
+    rescore_lm: str = ""  # big ARPA (.arpa/.arpa.gz) for LM rescoring
+    decode_lm: str = ""  # the decode graph's ARPA, subtracted when rescoring
+    lm_scale: float = 1.0
+    nbest: int = 100
+    write_ctm: bool = False
     asv_checkpoint: str = ""
     enroll_dir: str = ""  # data dir of enrollment utterances
     trials: str = ""  # "spk utt target|nontarget" lines
@@ -40,30 +49,91 @@ class EvalOpts(cfg.Opts):
 
 
 def evaluate_asr(opts) -> dict:
+    """WER over the data dir: bucketed batched loglikes on the chip, native
+    lattice decode + optional big-LM rescoring on the host (the reference's
+    decode | latgen-faster-mapped | rescore | score flow,
+    egs/anon/vctk/local/eval.py:124-194)."""
     import jax
 
-    from .. import infer_helper
+    from .. import infer_helper, native
     from ..chain.decoder import best_path_decode, read_words_txt
     from ..chain.fst import Fst
+    from ..chain.lattice import ArpaLM, best_path, nbest, rescore_nbest, to_ctm
+    from ..models.asrbn import output_num_frames
+    from .pipeline import DEFAULT_BUCKETS, bucket_for
 
     model, variables, _ = infer_helper.load_model(opts.asr_checkpoint)
     graph = Fst.read(opts.decode_graph)
     words = read_words_txt(opts.words_txt) if opts.words_txt else None
+    word_table = words or {}
     utt2wav = kaldi_data.read_wav_scp(os.path.join(opts.data, "wav.scp"))
     refs = kaldi_data.read_keyed_text(os.path.join(opts.data, "text"))
 
+    new_lm = ArpaLM(opts.rescore_lm) if opts.rescore_lm else None
+    old_lm = ArpaLM(opts.decode_lm) if opts.decode_lm else None
+    use_native = native.available()
+    ng = native.NativeGraph(graph) if use_native else None
+    if not use_native:
+        logging.warning("native decoder unavailable; falling back to the "
+                        "python best-path decoder (no lattices/rescoring)")
+
+    import inspect
+
+    takes_len = "lengths" in inspect.signature(model.__call__).parameters
+
     @jax.jit
-    def loglikes(w):
-        chain_out, _ = model.apply(variables, w, train=False)
+    def loglikes(w, lens):
+        kw = {"lengths": lens} if takes_len else {}
+        chain_out, _ = model.apply(variables, w, train=False, **kw)
         return chain_out
 
-    hyps = {}
+    # bucketed static-shape batches: load lengths, sort, pad (B, bucket)
+    entries = []
     for utt, spec in utt2wav.items():
         wav, _ = kaldi_data.load_wav_from_scp(spec)
-        ll = np.asarray(loglikes(wav[:1].astype(np.float32)))[0]
-        res = best_path_decode(ll, graph, acoustic_scale=opts.acoustic_scale,
-                               word_table=words)
-        hyps[utt] = res.text
+        entries.append((utt, wav[0].astype(np.float32)))
+    entries.sort(key=lambda e: len(e[1]))
+
+    hyps = {}
+    ctm_lines = []
+    B = opts.batch_size
+    for i in range(0, len(entries), B):
+        batch = entries[i : i + B]
+        maxlen = max(len(w) for _, w in batch)
+        bucket = bucket_for(maxlen, DEFAULT_BUCKETS)
+        wav_b = np.zeros((B, bucket), np.float32)
+        lens = np.zeros((B,), np.int32)
+        for j, (_, w) in enumerate(batch):
+            wav_b[j, : len(w)] = w
+            lens[j] = len(w)
+        ll_b = np.asarray(loglikes(wav_b, lens))
+        for j, (utt, w) in enumerate(batch):
+            ll = ll_b[j, : output_num_frames(len(w))]
+            if use_native:
+                lat = native.decode_lattice(
+                    ng, ll, acoustic_scale=opts.acoustic_scale, beam=opts.beam,
+                    lattice_beam=opts.lattice_beam, max_active=opts.max_active)
+                if new_lm is not None:
+                    hs = rescore_nbest(nbest(lat, opts.nbest), word_table,
+                                       new_lm, old_lm=old_lm,
+                                       lm_scale=opts.lm_scale)
+                    hyp = hs[0] if hs else None
+                else:
+                    hyp = best_path(lat)
+                    if hyp is not None:
+                        hyp["text"] = " ".join(
+                            word_table.get(w_, str(w_)) for w_ in hyp["words"])
+                hyps[utt] = hyp["text"] if hyp else ""
+                if opts.write_ctm and hyp:
+                    ctm_lines.extend(to_ctm(hyp, word_table, utt=utt))
+            else:
+                res = best_path_decode(ll, graph,
+                                       acoustic_scale=opts.acoustic_scale,
+                                       word_table=words)
+                hyps[utt] = res.text
+    if ctm_lines:
+        with open(os.path.join(opts.results, "hyp.ctm"), "w") as f:
+            f.write("\n".join(ctm_lines) + "\n")
     wer = corpus_wer(refs, hyps)
     logging.info("ASR %s", wer)
     return {"wer": wer.wer * 100, "errors": wer.errors, "words": wer.words}

@@ -56,6 +56,15 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), i32p, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.satpu_decode_lattice.restype = ctypes.c_int
+    lib.satpu_decode_lattice.argtypes = [
+        ctypes.c_int32, i32p, i32p, i32p, i32p, f32p, f32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, f32p, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f32p, f32p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        i32p, f32p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
     _LIB = lib
     return _LIB
 
@@ -114,3 +123,51 @@ def decode(graph: NativeGraph, loglikes: np.ndarray, acoustic_scale: float = 1.0
         return [], [], float("inf")
     return (out_words[: nwords.value].tolist(), out_align[: nalign.value].tolist(),
             float(cost.value))
+
+
+def decode_lattice(graph: NativeGraph, loglikes: np.ndarray,
+                   acoustic_scale: float = 1.0, beam: float = 16.0,
+                   lattice_beam: float = 8.0, max_active: int = 7000):
+    """Native lattice decode -> satpu.chain.lattice.Lattice (or None when the
+    native library is unavailable). Mirrors the reference's
+    MappedLatticeFasterRecognizer lattice output (csrc/decoder.cc:96-153)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ..chain.lattice import Lattice
+
+    ll = np.ascontiguousarray(loglikes, np.float32)
+    T, P = ll.shape
+    arc_cap, node_cap = 1 << 18, 1 << 16
+    for _ in range(4):
+        arc_from = np.zeros(arc_cap, np.int32)
+        arc_to = np.zeros(arc_cap, np.int32)
+        arc_word = np.zeros(arc_cap, np.int32)
+        arc_pdf = np.zeros(arc_cap, np.int32)
+        arc_graph = np.zeros(arc_cap, np.float32)
+        arc_acoustic = np.zeros(arc_cap, np.float32)
+        node_time = np.zeros(node_cap, np.int32)
+        node_final = np.zeros(node_cap, np.float32)
+        narcs = ctypes.c_int32(0)
+        nnodes = ctypes.c_int32(0)
+        rc = lib.satpu_decode_lattice(
+            graph.num_states, graph.row_start, graph.dst, graph.ilabel,
+            graph.olabel, graph.weight, graph.final, graph.start, T, P, ll,
+            ctypes.c_float(acoustic_scale), ctypes.c_float(beam),
+            ctypes.c_float(lattice_beam), max_active,
+            arc_from, arc_to, arc_word, arc_pdf, arc_graph, arc_acoustic,
+            arc_cap, ctypes.byref(narcs),
+            node_time, node_final, node_cap, ctypes.byref(nnodes))
+        if rc == 2:
+            arc_cap *= 4
+            node_cap *= 4
+            continue
+        if rc == 1:
+            return Lattice.empty()
+        na, nn = narcs.value, nnodes.value
+        return Lattice(
+            arc_from=arc_from[:na].copy(), arc_to=arc_to[:na].copy(),
+            arc_word=arc_word[:na].copy(), arc_pdf=arc_pdf[:na].copy(),
+            arc_graph=arc_graph[:na].copy(), arc_acoustic=arc_acoustic[:na].copy(),
+            node_time=node_time[:nn].copy(), node_final=node_final[:nn].copy())
+    raise MemoryError("lattice capacity still exceeded after growth")
