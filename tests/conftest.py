@@ -49,17 +49,26 @@ def reference_module(name, path=None):
 
     if name in sys.modules:
         return sys.modules[name]
+    installed_stub = False
     if "torchaudio" not in sys.modules:
         ta = types.ModuleType("torchaudio")
         ta.functional = types.ModuleType("torchaudio.functional")
         ta.load = None
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.functional"] = ta.functional
+        installed_stub = True
     if path is None:
         rel = name.replace("ref_", "").replace(".", "/") + ".py"
         path = os.path.join("/root/reference/satools/satools", rel)
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        if installed_stub:
+            # leaving the stub installed breaks later imports that probe
+            # torchaudio (e.g. transformers in test_wav2vec2)
+            sys.modules.pop("torchaudio", None)
+            sys.modules.pop("torchaudio.functional", None)
     return mod

@@ -41,6 +41,7 @@ def _ref_yaapt():
     taf.lowpass_biquad = lowpass_biquad
     taf.highpass_biquad = highpass_biquad
     ta.functional = taf
+    had_ta = sys.modules.get("torchaudio"), sys.modules.get("torchaudio.functional")
     sys.modules["torchaudio"] = ta
     sys.modules["torchaudio.functional"] = taf
 
@@ -60,6 +61,13 @@ def _ref_yaapt():
     mod = types.ModuleType("ref_yaapt")
     mod.__dict__["__name__"] = "ref_yaapt"
     exec(compile(src, "ref_yaapt.py", "exec"), mod.__dict__)
+    # restore: leaving the stub breaks transformers' torchaudio probe in
+    # later test modules (round-1 order-dependent failure)
+    for name, old in zip(("torchaudio", "torchaudio.functional"), had_ta):
+        if old is None:
+            sys.modules.pop(name, None)
+        else:
+            sys.modules[name] = old
     sys.modules["ref_yaapt"] = mod
     return mod
 
