@@ -7,6 +7,16 @@ default JAX device (one TPU chip under the driver).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
+Measurement notes (round-2 profile on a v5e chip, B=8 x 10 s):
+- stage split: YAAPT 0.8 ms, BN extract 8.8 ms, HiFi-GAN 82.5 ms per batch —
+  the generator convs are ~90% of the time, so the bf16 conv policy
+  (compute_dtype="bfloat16", waveform rel err ~2e-3) is on by default;
+- F0 and convert stay TWO dispatches: fusing YAAPT's DP scans into the conv
+  pipeline makes XLA schedule the whole graph ~3x slower;
+- inputs are staged on-device before timing: the serving pipeline overlaps
+  host IO with device compute (async writer in satpu.bin.pipeline), so the
+  metric is device throughput, not PCIe/tunnel transfer time.
+
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
 driver north-star is >=10x a reference GPU real-time factor per chip. We use
 60 audio-sec/sec as the assumed reference-GPU anonymize RTF (the reference
@@ -22,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+# host-local cache (a repo-local cache ships stale AOT artifacts across hosts)
+jax.config.update("jax_compilation_cache_dir", "/tmp/satpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import numpy as np
 
@@ -35,7 +46,8 @@ def main():
 
     cfg = AnonymizerConfig(
         asrbn=TDNNFNetConfig(output_dim=3280, bottleneck="vq", codebook_size=48),
-        num_speakers=247)
+        num_speakers=247,
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
     model = AnonymizationNet(cfg)
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
@@ -55,10 +67,13 @@ def main():
             jax.random.PRNGKey(0), wav[:1], f0_zeros[:1], tid[:1],
             method=model.convert))()
         jax.block_until_ready(variables)
-    variables = jax.device_put(variables, jax.devices()[0])
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+    wav_d = jax.device_put(wav, dev)
+    tid_d = jax.device_put(tid, dev)
 
     # two programs: XLA schedules the YAAPT DP scans poorly when fused into
-    # the conv pipeline (2x slower as one graph); as separate dispatches the
+    # the conv pipeline (~3x slower as one graph); as separate dispatches the
     # device queue pipelines them across iterations.
     f0_fn = jax.jit(model.get_f0)
     convert_fn = jax.jit(
@@ -68,14 +83,19 @@ def main():
         return convert_fn(wav, f0_fn(wav), tid)
 
     # warmup / compile
-    out = convert(wav, tid)
+    out = convert(wav_d, tid_d)
     jax.block_until_ready(out)
 
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    # dependency-chain the iterations: on this runtime, blocking on the last
+    # of N independent dispatches does NOT wait for the earlier ones, so an
+    # unchained loop under-measures; the chain adds one trivial fused add
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    cur = wav_d
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = convert(wav, tid)
-    jax.block_until_ready(out)
+        out = convert(cur, tid_d)
+        cur = wav_d + 0.0 * out[:, :T]
+    jax.block_until_ready(cur)
     dt = time.perf_counter() - t0
 
     audio_sec = B * (T / sr) * iters

@@ -46,7 +46,8 @@ class TrainAsrOpts(cfg.Opts):
     den_fst: str = ""
     normalization_fst: str = ""
     num_pdfs: int = 0
-    model: str = "tdnnf"  # tdnnf | tdnnf_vq | tdnnf_dp
+    model: str = "tdnnf"  # tdnnf | tdnnf_vq | tdnnf_dp | tdnnf_spkadv
+    adversarial: bool = True  # for tdnnf_spkadv: gradient reversal on/off
     hidden_dim: int = 1024
     bottleneck_dim: int = 128
     prefinal_bottleneck_dim: int = 256
@@ -119,7 +120,24 @@ def main(argv=None):
                           prefinal_bottleneck_dim=opts.prefinal_bottleneck_dim,
                           codebook_size=opts.codebook_size, epsilon=opts.dp_epsilon,
                           natural_gradient=opts.natural_gradient)
-    model = TDNNFNet(mcfg)
+    spk_index = None
+    model_id, extra_params = "asrbn_tdnnf", {}
+    if opts.model == "tdnnf_spkadv":
+        # speaker-adversarial branch (tuning/tdnnf_spkadv.py:33-140)
+        from ..models.spkadv import SpkAdvTDNNFNet
+        from ..utils import kaldi_data
+
+        utt2spk = kaldi_data.read_keyed_text(
+            os.path.join(opts.train_set, "utt2spk"))
+        speakers = sorted(set(utt2spk.values()))
+        spk_index = {u: speakers.index(s) for u, s in utt2spk.items()}
+        model = SpkAdvTDNNFNet(mcfg, num_speakers=len(speakers),
+                               adversarial=opts.adversarial)
+        model_id = "asrbn_tdnnf_spkadv"
+        extra_params = {"num_speakers": len(speakers),
+                        "adversarial": opts.adversarial}
+    else:
+        model = TDNNFNet(mcfg)
 
     topts = ChainTrainOpts(lr=opts.lr_initial, xent_regularize=opts.xent_regularize,
                            l2_regularize=opts.l2_regularize,
@@ -183,8 +201,12 @@ def main(argv=None):
             for batch_idx in sampler:
                 wavs, graphs, frames, _ = ds.load_batch(batch_idx)
                 graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
+                kw = {}
+                if spk_index is not None:
+                    wavs_utts = [spk_index.get(u, 0) for u in _]
+                    kw["spk_target"] = jnp.asarray(wavs_utts, jnp.int32)
                 state, metrics = step_fn(state, wavs, graphs, jnp.asarray(frames),
-                                         jax.random.PRNGKey(steps))
+                                         jax.random.PRNGKey(steps), **kw)
                 steps += 1
                 if steps % 4 == 0:
                     state = state.replace(
@@ -192,14 +214,14 @@ def main(argv=None):
                 if steps % opts.diagnostics_interval == 0:
                     run_diagnostics(epoch, steps, metrics)
                 if steps % opts.checkpoint_interval == 0:
-                    _save(opts, mcfg, state, steps, epoch)
-        _save(opts, mcfg, state, steps, epoch + 1)
+                    _save(opts, mcfg, state, steps, epoch, model_id=model_id, extra_params=extra_params)
+        _save(opts, mcfg, state, steps, epoch + 1, model_id=model_id, extra_params=extra_params)
 
     # ---- final combination (chain/model.py:347-434): average the last n
     # checkpoints for n = 1..N, pick the best valid objf ----
     state = final_combination(opts, mcfg, model, state, valid_fn, valid_ds,
                               merge_models)
-    _save(opts, mcfg, state, steps, opts.num_epochs, final=True)
+    _save(opts, mcfg, state, steps, opts.num_epochs, final=True, model_id=model_id, extra_params=extra_params)
     return 0
 
 
@@ -251,15 +273,17 @@ def final_combination(opts, mcfg, model, state, valid_fn, valid_ds, merge_models
     return state.replace(params=best_params)
 
 
-def _save(opts, mcfg, state, steps, epoch, final=False):
+def _save(opts, mcfg, state, steps, epoch, final=False, model_id="asrbn_tdnnf",
+          extra_params=None):
     from .. import infer_helper
 
     name = "final.ckpt" if final else f"{steps}.ckpt"
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if state.vq_stats:
         variables["vq_stats"] = state.vq_stats
-    infer_helper.save_model(os.path.join(opts.dirname, name), "asrbn_tdnnf",
-                            dataclasses.asdict(mcfg), variables,
+    build_params = dict(dataclasses.asdict(mcfg), **(extra_params or {}))
+    infer_helper.save_model(os.path.join(opts.dirname, name), model_id,
+                            build_params, variables,
                             extra_meta={"steps": steps})
     if not final:
         ckpt.save_checkpoint(

@@ -83,11 +83,16 @@ def main(argv=None):
     sampler = SideSampler(side.chunk_speakers, len(speakers),
                           opts.examples_per_speaker, opts.samples_per_speaker,
                           opts.minibatch_size, seed=opts.seed)
+    epoch_key = jax.random.PRNGKey(opts.seed + 1)
     for epoch in range(opts.epochs):
         sampler.set_epoch(epoch)
         losses = []
+        step_key = jax.random.fold_in(epoch_key, epoch)
         for wav, spk in side.batches(sampler, opts.minibatch_size):
-            state, metrics = step(state, wav, spk, jax.random.PRNGKey(epoch))
+            # fresh key per batch: one key per epoch made every SpecAugment
+            # mask identical across the epoch's steps (round-1 weak #10)
+            step_key, sub = jax.random.split(step_key)
+            state, metrics = step(state, wav, spk, sub)
             losses.append(float(metrics["loss"]))
         # quick validation on a slice of chunks
         val_idx = list(range(0, len(side), max(len(side) // 64, 1)))[:64]

@@ -23,8 +23,8 @@ import numpy as np
 
 from ..ops.augment import data_augmentation
 from ..utils import kaldi_data
-from .fst import (Fst, fst_compose_acceptor, fst_to_arrays, pad_graph_arrays,
-                  read_fst_kaldi)
+from .fst import (Fst, fst_compose_acceptor, fst_rmepsilon, fst_to_arrays,
+                  pad_graph_arrays, read_fst_kaldi)
 
 
 def fst_min_path_length(fst: Fst) -> int:
@@ -143,6 +143,9 @@ class EgsDataset:
                     raise ValueError(
                         f"supervision for {e.utt} is empty after composing with "
                         "normalization.fst (label mismatch?)")
+            # the dense forward-backward treats every arc as emitting: strip
+            # epsilon arcs (prep numerators and normalization both add them)
+            g = fst_rmepsilon(g)
             graphs.append(fst_to_arrays(g))
         return (wavs, pad_graph_arrays(graphs),
                 np.asarray(frames, np.int32), [e.utt for e in egs])

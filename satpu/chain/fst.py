@@ -340,6 +340,51 @@ def fst_connect(fst: Fst) -> Fst:
     return out
 
 
+def fst_rmepsilon(fst: Fst) -> Fst:
+    """Weighted epsilon removal (tropical): replace each state's epsilon
+    closure with direct arcs/finals. REQUIRED before fst_to_arrays — the
+    dense forward-backward treats every arc as emitting, so epsilon arcs
+    would each consume a frame."""
+    n = fst.num_states
+    import heapq
+
+    out = Fst()
+    for _ in range(n):
+        out.add_state()
+    out.start = fst.start
+    for s in range(n):
+        # Dijkstra over epsilon arcs from s
+        dist = {s: 0.0}
+        heap = [(0.0, s)]
+        while heap:
+            c, u = heapq.heappop(heap)
+            if c > dist.get(u, INF):
+                continue
+            for a in fst.arcs[u]:
+                if a.ilabel == 0:
+                    nc = c + a.weight
+                    if nc < dist.get(a.nextstate, INF):
+                        dist[a.nextstate] = nc
+                        heapq.heappush(heap, (nc, a.nextstate))
+        best_final = INF
+        seen_arcs = {}
+        for t, w in dist.items():
+            if fst.finals[t] != INF:
+                best_final = min(best_final, w + fst.finals[t])
+            for a in fst.arcs[t]:
+                if a.ilabel == 0:
+                    continue
+                key = (a.ilabel, a.olabel, a.nextstate)
+                cost = w + a.weight
+                if cost < seen_arcs.get(key, INF):
+                    seen_arcs[key] = cost
+        for (il, ol, ns), w in seen_arcs.items():
+            out.add_arc(s, Arc(il, ol, w, ns))
+        if best_final != INF:
+            out.set_final(s, best_final)
+    return fst_connect(out)
+
+
 def fst_compose_acceptor(a: Fst, b: Fst) -> Fst:
     """Weighted intersection of two acceptors over the same label alphabet
     (tropical semiring: weights add). Epsilon (ilabel 0) arcs in either side

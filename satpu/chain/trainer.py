@@ -79,7 +79,8 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
     state; XLA inserts the grad all-reduce.
     """
 
-    def train_step(state: ChainTrainState, wav, num_graphs, num_frames, rng):
+    def train_step(state: ChainTrainState, wav, num_graphs, num_frames, rng,
+                   **model_kwargs):
         use_ng = bool(state.ng_state)
 
         def loss_fn(params, ng_state):
@@ -88,15 +89,30 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
                 variables["vq_stats"] = state.vq_stats
             if use_ng:
                 variables["ng_state"] = ng_state
-            mutable = ["batch_stats"] + (["vq_stats"] if state.vq_stats else [])
+            mutable = ["batch_stats", "aux_loss", "aux_metric"] + (
+                ["vq_stats"] if state.vq_stats else [])
             (chain_out, xent_out), new_vars = model.apply(
                 variables, wav, train=True, mutable=mutable,
-                rngs={"dropout": rng})
+                rngs={"dropout": rng}, **model_kwargs)
             loss, metrics = chain_objf_and_grad(
                 chain_out, xent_out, num_graphs, den, num_frames=num_frames,
                 leaky_hmm_coefficient=opts.leaky_hmm_coefficient,
                 l2_regularize=opts.l2_regularize,
                 xent_regularize=opts.xent_regularize)
+            # auxiliary losses sown by submodules (VQ commitment, adversarial
+            # speaker CE — the reference's additional_obj hook,
+            # chain/objf.py:332-360)
+            metrics = dict(metrics)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    new_vars.get("aux_loss", {}))[0]:
+                name = getattr(path[-2] if len(path) > 1 else path[-1], "key", "aux")
+                val = jnp.sum(leaf)
+                loss = loss + val
+                metrics[str(name)] = val
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    new_vars.get("aux_metric", {}))[0]:
+                name = getattr(path[-2] if len(path) > 1 else path[-1], "key", "aux")
+                metrics[str(name)] = jnp.mean(leaf)
             return loss, (metrics, new_vars)
 
         # nat_affine's custom_vjp emits the UPDATED preconditioner states as

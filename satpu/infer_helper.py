@@ -59,6 +59,16 @@ def _register_builtins():
 
             return build_xvector(XVectorConfig(**kwargs))
 
+        @register_model("asrbn_tdnnf_spkadv")
+        def _build_spkadv(**kwargs):
+            from .models.spkadv import SpkAdvTDNNFNet
+
+            num_speakers = kwargs.pop("num_speakers")
+            adversarial = kwargs.pop("adversarial", True)
+            return SpkAdvTDNNFNet(TDNNFNetConfig(**_tuplify(kwargs)),
+                                  num_speakers=num_speakers,
+                                  adversarial=adversarial)
+
         @register_model("asrbn_tdnnf_wav2vec2")
         def _build_asrbn_w2v2(**kwargs):
             from .models.asrbn import Wav2Vec2TDNNFNet

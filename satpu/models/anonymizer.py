@@ -49,12 +49,17 @@ YAAPT_OPTS = {
 @dataclasses.dataclass(frozen=True)
 class AnonymizerConfig:
     asrbn: TDNNFNetConfig = TDNNFNetConfig()
+    # 0 = any-to-one (m2o): no target-speaker conditioning at all
+    # (reference tuning/hifigan_m2o.py)
     num_speakers: int = 247  # libritts-train-clean-100 speaker count
     f0_transformation: str = ""
     upsample_rates: Tuple[int, ...] = (5, 4, 4, 2, 2)
     upsample_kernel_sizes: Tuple[int, ...] = (11, 8, 8, 4, 4)
     upsample_initial_channel: int = 512
     bn_dim: int = 256
+    # "float32" | "bfloat16": serving compute dtype for generator convs +
+    # TDNNF matmuls (params, YAAPT and normalizations stay f32)
+    compute_dtype: str = "float32"
 
     def hifigan_config(self) -> CoreHifiGanConfig:
         return CoreHifiGanConfig(
@@ -62,6 +67,7 @@ class AnonymizerConfig:
             upsample_rates=self.upsample_rates,
             upsample_kernel_sizes=self.upsample_kernel_sizes,
             upsample_initial_channel=self.upsample_initial_channel,
+            compute_dtype=self.compute_dtype,
         )
 
 
@@ -71,7 +77,12 @@ class AnonymizationNet(nn.Module):
     cfg: AnonymizerConfig
 
     def setup(self):
-        self.bn_extractor = TDNNFNet(self.cfg.asrbn, name="bn_extractor")
+        import dataclasses as _dc
+
+        asrbn = self.cfg.asrbn
+        if self.cfg.compute_dtype != asrbn.compute_dtype:
+            asrbn = _dc.replace(asrbn, compute_dtype=self.cfg.compute_dtype)
+        self.bn_extractor = TDNNFNet(asrbn, name="bn_extractor")
         self.hifigan = CoreHifiGan(self.cfg.hifigan_config(), name="hifigan")
 
     @staticmethod
@@ -100,8 +111,10 @@ class AnonymizationNet(nn.Module):
             f0 = apply_f0_transformation(f0, self.cfg.f0_transformation, key=f0_key)
         f0_inter = interpolate_nearest(f0, bn.shape[-1])
         x = jnp.concatenate([bn, f0_inter], axis=1)
-        spk = jnp.repeat(spk_onehot[:, :, None].astype(x.dtype), x.shape[-1], axis=2)
-        x = jnp.concatenate([x, spk], axis=1)  # [B, C_total, T]
+        if self.cfg.num_speakers > 0:
+            spk = jnp.repeat(spk_onehot[:, :, None].astype(x.dtype), x.shape[-1],
+                             axis=2)
+            x = jnp.concatenate([x, spk], axis=1)  # [B, C_total, T]
         wav = self.hifigan(jnp.transpose(x, (0, 2, 1)))  # NWC in, [B, T_out, 1]
         return wav[..., 0]
 
@@ -109,7 +122,10 @@ class AnonymizationNet(nn.Module):
                 f0_key: Optional[jax.Array] = None) -> jnp.ndarray:
         """wav [B, T], f0 [B, T_f0], target_ids [B] int32 -> [B, T_out]."""
         bn = self.get_bn(wav)
-        spk = jax.nn.one_hot(target_ids, self.cfg.num_speakers)
+        if self.cfg.num_speakers > 0:
+            spk = jax.nn.one_hot(target_ids, self.cfg.num_speakers)
+        else:  # m2o: ignored by forward_decoder
+            spk = jnp.zeros((wav.shape[0], 0), wav.dtype)
         return self.forward_decoder(f0, bn, spk, f0_key=f0_key)
 
     def __call__(self, wav: jnp.ndarray, f0: jnp.ndarray, target_ids: jnp.ndarray):

@@ -52,6 +52,9 @@ class TDNNFNetConfig:
     # NG-SGD preconditioning on every affine (chain/nn.py:54-137); enable for
     # chain training, leave off for inference/converted checkpoints
     natural_gradient: bool = False
+    # "float32" | "bfloat16": matmul compute dtype for serving (interfaces,
+    # batch norm, VQ distances stay f32)
+    compute_dtype: str = "float32"
 
 
 class DpLaplaceBottleneck(nn.Module):
@@ -83,7 +86,7 @@ class TDNNFNet(nn.Module):
 
         self.tdnn1 = TDNNFBatchNorm(
             c.num_mel_bins, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
-            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0, natural_gradient=c.natural_gradient,
+            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0, natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype,
             name="tdnn1")
 
         layers = []
@@ -92,7 +95,7 @@ class TDNNFNet(nn.Module):
                 c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
                 context_len=ks[i], subsampling_factor=ss[i],
                 orthonormal_constraint=-1.0,
-            natural_gradient=c.natural_gradient, name=f"tdnnf{i}"))
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name=f"tdnnf{i}"))
         # BN layer (stage-1 prefinal): optional VQ / DP bottleneck
         if c.bottleneck == "vq":
             bfunc = VQBottleneck(c.codebook_size, c.prefinal_bottleneck_dim, name="vq_bottleneck")
@@ -104,7 +107,7 @@ class TDNNFNet(nn.Module):
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
             context_len=ks[-1], subsampling_factor=ss[-1], orthonormal_constraint=-1.0,
             bypass_scale=0.0, bottleneck_func=bfunc,
-            natural_gradient=c.natural_gradient, name="tdnnf_bn"))
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="tdnnf_bn"))
         self.tdnnfs = layers
 
         after = []
@@ -114,21 +117,21 @@ class TDNNFNet(nn.Module):
                 c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
                 context_len=ksa[i], subsampling_factor=ssa[i],
                 orthonormal_constraint=-1.0,
-            natural_gradient=c.natural_gradient, name=f"tdnnf_after{i}"))
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name=f"tdnnf_after{i}"))
         self.tdnnfs_after = after
 
         self.prefinal_chain = TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
             context_len=1, orthonormal_constraint=-1.0,
-            natural_gradient=c.natural_gradient, name="prefinal_chain")
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="prefinal_chain")
         self.prefinal_xent = TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
             context_len=1, orthonormal_constraint=-1.0,
-            natural_gradient=c.natural_gradient, name="prefinal_xent")
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="prefinal_xent")
         self.chain_output = NaturalAffineTransform(
-            c.output_dim, natural_gradient=c.natural_gradient, name="chain_output")
+            c.output_dim, natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="chain_output")
         self.xent_output = NaturalAffineTransform(
-            c.output_dim, natural_gradient=c.natural_gradient, name="xent_output")
+            c.output_dim, natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="xent_output")
 
     def features(self, wav: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -156,14 +159,20 @@ class TDNNFNet(nn.Module):
         return x
 
     def __call__(self, wav: jnp.ndarray, train: bool = False,
-                 lengths: Optional[jnp.ndarray] = None):
-        """Returns (chain_out [B, T_sub, pdf], xent log-softmax)."""
+                 lengths: Optional[jnp.ndarray] = None, return_bn: bool = False):
+        """Returns (chain_out [B, T_sub, pdf], xent log-softmax)
+        [, bn bottleneck when return_bn — the speaker-adversarial tap]."""
         x = self.features(wav, lengths)
         x = self.tdnn1(x, train=train)
         x = self._dropout(x, train)
-        for layer in self.tdnnfs:
+        bn = None
+        for layer in self.tdnnfs[:-1]:
             x = layer(x, train=train)
             x = self._dropout(x, train)
+        if return_bn:
+            bn = self.tdnnfs[-1](x, return_bottleneck=True, train=train)
+        x = self.tdnnfs[-1](x, train=train)
+        x = self._dropout(x, train)
         x = pad_input_replicate(x, self.padding_after)
         for layer in self.tdnnfs_after:
             x = layer(x, train=train)
@@ -172,6 +181,8 @@ class TDNNFNet(nn.Module):
         xent_prefinal = self.prefinal_xent(x, train=train)
         chain_out = self.chain_output(chain_prefinal)
         xent_out = self.xent_output(xent_prefinal)
+        if return_bn:
+            return chain_out, jax.nn.log_softmax(xent_out, axis=2), bn
         return chain_out, jax.nn.log_softmax(xent_out, axis=2)
 
     def extract_bn(self, wav: jnp.ndarray, train: bool = False,
@@ -215,7 +226,7 @@ class Wav2Vec2TDNNFNet(nn.Module):
 
         self.tdnn1 = TDNNFBatchNorm(
             input_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
-            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0, natural_gradient=c.natural_gradient,
+            context_len=ks[0], subsampling_factor=ss[0], orthonormal_constraint=-1.0, natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype,
             name="tdnn1")
         layers = []
         for i in range(1, len(ks) - 1):
@@ -223,7 +234,7 @@ class Wav2Vec2TDNNFNet(nn.Module):
                 c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
                 context_len=ks[i], subsampling_factor=ss[i],
                 orthonormal_constraint=-1.0,
-            natural_gradient=c.natural_gradient, name=f"tdnnf{i}"))
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name=f"tdnnf{i}"))
         bfunc = (VQBottleneck(c.codebook_size, c.prefinal_bottleneck_dim,
                               name="vq_bottleneck") if c.bottleneck == "vq" else
                  DpLaplaceBottleneck(c.epsilon, name="dp_bottleneck")
@@ -232,7 +243,7 @@ class Wav2Vec2TDNNFNet(nn.Module):
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
             context_len=ks[-1], subsampling_factor=ss[-1], orthonormal_constraint=-1.0,
             bypass_scale=0.0, bottleneck_func=bfunc,
-            natural_gradient=c.natural_gradient, name="tdnnf_bn"))
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="tdnnf_bn"))
         self.tdnnfs = layers
         after = []
         ksa, ssa = list(c.kernel_size_list_after), list(c.subsampling_factor_list_after)
@@ -241,20 +252,20 @@ class Wav2Vec2TDNNFNet(nn.Module):
                 c.hidden_dim, c.hidden_dim, bottleneck_dim=c.bottleneck_dim,
                 context_len=ksa[i], subsampling_factor=ssa[i],
                 orthonormal_constraint=-1.0,
-            natural_gradient=c.natural_gradient, name=f"tdnnf_after{i}"))
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name=f"tdnnf_after{i}"))
         self.tdnnfs_after = after
         self.prefinal_chain = TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
             context_len=1, orthonormal_constraint=-1.0,
-            natural_gradient=c.natural_gradient, name="prefinal_chain")
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="prefinal_chain")
         self.prefinal_xent = TDNNFBatchNorm(
             c.hidden_dim, c.hidden_dim, bottleneck_dim=c.prefinal_bottleneck_dim,
             context_len=1, orthonormal_constraint=-1.0,
-            natural_gradient=c.natural_gradient, name="prefinal_xent")
+            natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="prefinal_xent")
         self.chain_output = NaturalAffineTransform(
-            c.output_dim, natural_gradient=c.natural_gradient, name="chain_output")
+            c.output_dim, natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="chain_output")
         self.xent_output = NaturalAffineTransform(
-            c.output_dim, natural_gradient=c.natural_gradient, name="xent_output")
+            c.output_dim, natural_gradient=c.natural_gradient, compute_dtype=c.compute_dtype, name="xent_output")
 
     def features(self, wav: jnp.ndarray) -> jnp.ndarray:
         x = self.preprocessor(wav)  # [B, T', 1024], /320 after padding below

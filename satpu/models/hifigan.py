@@ -49,6 +49,7 @@ class WNConv1d(nn.Module):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = True
+    dtype: Any = None  # compute dtype (bf16 policy); params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -60,8 +61,11 @@ class WNConv1d(nn.Module):
                        lambda key, s: jnp.sqrt(jnp.sum(
                            nn.initializers.normal(0.01)(key, shape) ** 2,
                            axis=(1, 2), keepdims=True)), (self.out_channels, 1, 1))
-        w = _weight_norm(v, g)  # [out, in/g, k]
+        w = _weight_norm(v, g)  # [out, in/g, k] (norm in f32 for stability)
         kernel = jnp.transpose(w, (2, 1, 0))  # -> [k, in/g, out]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
@@ -70,7 +74,7 @@ class WNConv1d(nn.Module):
             feature_group_count=self.groups)
         if self.use_bias:
             b = self.param("bias", nn.initializers.uniform(scale=2 * bound), (self.out_channels,))
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -83,6 +87,7 @@ class WNConvTranspose1d(nn.Module):
     stride: int
     padding: int = 0
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -97,13 +102,16 @@ class WNConvTranspose1d(nn.Module):
         # flip kernel and express transpose-conv as lhs-dilated conv
         kernel = jnp.transpose(w[:, :, ::-1], (2, 0, 1))  # [k, in, out]
         pad = k - 1 - self.padding
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1,), padding=[(pad, pad)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -113,6 +121,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, int, int] = (1, 3, 5)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -120,11 +129,11 @@ class ResBlock1(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = WNConv1d(self.channels, self.channels, self.kernel_size,
                           dilation=d, padding=_get_padding(self.kernel_size, d),
-                          name=f"convs1_{i}")(xt)
+                          dtype=self.dtype, name=f"convs1_{i}")(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = WNConv1d(self.channels, self.channels, self.kernel_size,
                           dilation=1, padding=_get_padding(self.kernel_size, 1),
-                          name=f"convs2_{i}")(xt)
+                          dtype=self.dtype, name=f"convs2_{i}")(xt)
             x = xt + x
         return x
 
@@ -133,6 +142,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, int] = (1, 3)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -140,7 +150,7 @@ class ResBlock2(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = WNConv1d(self.channels, self.channels, self.kernel_size,
                           dilation=d, padding=_get_padding(self.kernel_size, d),
-                          name=f"convs_{i}")(xt)
+                          dtype=self.dtype, name=f"convs_{i}")(xt)
             x = xt + x
         return x
 
@@ -155,6 +165,13 @@ class CoreHifiGanConfig:
     resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     istft_out: bool = False
     istft_n_fft: int = 16
+    # "float32" | "bfloat16": conv compute dtype (params and the final
+    # waveform stay f32; MXU accumulates in f32 either way). End-to-end
+    # chained A/B on v5e: uniform bf16 ~1.5x over f32; mixing dtypes across
+    # stages loses the win to relayout/cast traffic, so set
+    # bf16_min_channels > 0 only when re-measuring on new hardware.
+    compute_dtype: str = "float32"
+    bf16_min_channels: int = 0
 
 
 class CoreHifiGan(nn.Module):
@@ -169,19 +186,23 @@ class CoreHifiGan(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         c = self.cfg
+        use_bf16 = c.compute_dtype == "bfloat16"
         num_kernels = len(c.resblock_kernel_sizes)
         x = WNConv1d(c.input_dim, c.upsample_initial_channel, 7, padding=3,
-                     name="conv_pre")(x)
+                     dtype=jnp.bfloat16 if use_bf16 else None, name="conv_pre")(x)
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             ch_in = c.upsample_initial_channel // (2**i)
             ch = c.upsample_initial_channel // (2 ** (i + 1))
+            dt = jnp.bfloat16 if use_bf16 and ch >= c.bf16_min_channels else None
+            if dt is None:
+                x = x.astype(jnp.float32)
             x = WNConvTranspose1d(ch_in, ch, k, u, padding=(k - u) // 2,
-                                  name=f"ups_{i}")(x)
+                                  dtype=dt, name=f"ups_{i}")(x)
             xs = jnp.zeros_like(x)
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilation_sizes)):
-                xs = xs + ResBlock1(ch, rk, tuple(rd),
+                xs = xs + ResBlock1(ch, rk, tuple(rd), dtype=dt,
                                     name=f"resblocks_{i * num_kernels + j}")(x)
             x = xs / num_kernels
         x = nn.leaky_relu(x)  # default slope 0.01 (archi.py:87 F.leaky_relu)
@@ -190,6 +211,7 @@ class CoreHifiGan(nn.Module):
         out_ch = (c.istft_n_fft + 2) if c.istft_out else 1
         ch = c.upsample_initial_channel // (2 ** len(c.upsample_rates))
         x = WNConv1d(ch, out_ch, 7, padding=3, name="conv_post")(x)
+        x = x.astype(jnp.float32)  # waveform/tanh back in f32
         if c.istft_out:
             n = c.istft_n_fft // 2 + 1
             spec = jnp.exp(x[:, :, :n])

@@ -103,6 +103,7 @@ class NaturalAffineTransform(nn.Module):
     out_dim: int
     use_bias: bool = True
     natural_gradient: bool = False
+    compute_dtype: str = "float32"  # "bfloat16" = MXU bf16 matmul, f32 out
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -126,7 +127,12 @@ class NaturalAffineTransform(nn.Module):
             y2d = nat_affine(x.reshape(-1, feat_dim), weight, bias,
                              in_st.value, out_st.value)
             return y2d.reshape(*x.shape[:-1], self.out_dim)
-        y = jnp.einsum("...i,oi->...o", x, weight)
+        if self.compute_dtype == "bfloat16":
+            y = jnp.einsum("...i,oi->...o", x.astype(jnp.bfloat16),
+                           weight.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            y = jnp.einsum("...i,oi->...o", x, weight)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.normal(1.0), (1, self.out_dim))
             y = y + bias[0]
@@ -141,11 +147,13 @@ class OrthonormalLinear(nn.Module):
     scale: float = 0.0
     use_bias: bool = True
     natural_gradient: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return NaturalAffineTransform(self.out_dim, self.use_bias,
                                       natural_gradient=self.natural_gradient,
+                                      compute_dtype=self.compute_dtype,
                                       name="inner_nat")(x)
 
 
@@ -217,13 +225,16 @@ class TDNNF(nn.Module):
     bypass_scale: float = 0.66
     bottleneck_func: Optional[Callable] = None  # e.g. a VQ layer's apply
     natural_gradient: bool = False
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.linearB = OrthonormalLinear(
             self.bottleneck_dim, scale=self.orthonormal_constraint,
-            natural_gradient=self.natural_gradient, name="linearB")
+            natural_gradient=self.natural_gradient,
+            compute_dtype=self.compute_dtype, name="linearB")
         self.linearA = NaturalAffineTransform(
-            self.output_dim, natural_gradient=self.natural_gradient, name="linearA")
+            self.output_dim, natural_gradient=self.natural_gradient,
+            compute_dtype=self.compute_dtype, name="linearA")
         self.use_bypass = self.bypass_scale > 0.0 and self.feat_dim == self.output_dim
 
     def _bypass(self, x: jnp.ndarray, inp: jnp.ndarray) -> jnp.ndarray:
@@ -282,6 +293,7 @@ class TDNNFBatchNorm(nn.Module):
     bypass_scale: float = 0.66
     bottleneck_func: Optional[Callable] = None
     natural_gradient: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_bottleneck: bool = False,
@@ -292,6 +304,7 @@ class TDNNFBatchNorm(nn.Module):
             orthonormal_constraint=self.orthonormal_constraint,
             bypass_scale=self.bypass_scale, bottleneck_func=self.bottleneck_func,
             natural_gradient=self.natural_gradient,
+            compute_dtype=self.compute_dtype,
             name="tdnn",
         )(x, return_bottleneck=return_bottleneck, train=train)
         if return_bottleneck:
@@ -378,7 +391,7 @@ class VQBottleneck(nn.Module):
             self.num_embeddings, self.embedding_dim, name="vq")(x, train=train)
         if not self.is_initializing():
             self.sow("aux_loss", "vq_loss", vq_loss)
-            self.sow("aux_loss", "vq_perplexity", perplexity)
+            self.sow("aux_metric", "vq_perplexity", perplexity)
         return quantized
 
 

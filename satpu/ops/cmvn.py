@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _time_mask(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
@@ -90,3 +91,110 @@ def global_cmvn(x: jnp.ndarray, stats: jnp.ndarray, var_norm: bool = False) -> j
         var = stats[1, :-1] / count - mean**2
         out = out / jnp.sqrt(jnp.maximum(var, 1e-10))
     return out
+
+
+class AdaptivePCMN:
+    """Adaptive parametric cepstral mean normalization (reference
+    cmvn.py:174-238; Kalinli et al., ICASSP 2019): per-dim grouped context
+    convolutions predict (beta, alpha, mu_n) and output beta*x - alpha*mu_n.
+
+    Note: the reference's forward overwrites its result with the permuted
+    input (cmvn.py:236-238) — an apparent bug that makes it an identity; we
+    implement the paper's behavior. Stateless-functional: ``init`` returns a
+    param dict, ``apply`` is jittable.
+    """
+
+    def __init__(self, input_dim: int, left_context: int = -10,
+                 right_context: int = 10):
+        assert left_context < 0 and right_context > 0
+        self.input_dim = input_dim
+        self.left = left_context
+        self.right = right_context
+        self.tot_context = right_context - left_context + 1
+
+    def init(self, key) -> dict:
+        import jax
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        shape = (self.input_dim, self.tot_context)  # grouped: one kernel/dim
+        return {
+            "beta_w": 0.01 * jax.random.normal(k1, shape),
+            "alpha_w": 0.01 * jax.random.normal(k2, shape),
+            "mu_n_0_w": 0.01 * jax.random.normal(k3, shape),
+            "bias": jnp.zeros((self.input_dim,)),
+        }
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, T, D] -> [B, T, D]."""
+        B, T, D = x.shape
+        assert D == self.input_dim and T >= self.tot_context
+        # replicate pad time by (-left, right)
+        left = jnp.repeat(x[:, :1], -self.left, axis=1)
+        right = jnp.repeat(x[:, -1:], self.right, axis=1)
+        xp = jnp.concatenate([left, x, right], axis=1)  # [B, T+ctx-1, D]
+        idx = jnp.arange(T)[:, None] + jnp.arange(self.tot_context)[None, :]
+        win = xp[:, idx]  # [B, T, ctx, D]
+
+        def ctx_conv(w):
+            # grouped conv: each dim uses its own [ctx] kernel
+            return jnp.einsum("btcd,dc->btd", win, w) + params["bias"]
+
+        beta = ctx_conv(params["beta_w"]) + 1.0
+        alpha = ctx_conv(params["alpha_w"])
+        mu_n0 = ctx_conv(params["mu_n_0_w"])
+        return beta * x - alpha * mu_n0
+
+
+class SpeakerCMVN:
+    """Per-speaker global mean/variance normalization over nonzero values
+    (reference cmvn.py:243-388, without the pickled-buffer machinery: stats
+    are a plain dict that rides checkpoint metadata)."""
+
+    def __init__(self, keep_zeros: bool = True,
+                 pass_through_if_not_computed: bool = False):
+        self.keep_zeros = keep_zeros
+        self.pass_through = pass_through_if_not_computed
+        self.stats: dict = {}
+
+    def accumulate(self, features, speaker_id: str) -> None:
+        import numpy as np
+
+        f = np.asarray(features)
+        vals = f[f != 0] if self.keep_zeros else f.reshape(-1)
+        st = self.stats.setdefault(speaker_id,
+                                   {"sum": 0.0, "sum_sq": 0.0, "n": 0})
+        st["sum"] += float(vals.sum())
+        st["sum_sq"] += float((vals ** 2).sum())
+        st["n"] += int(vals.size)
+
+    def mean_std(self, speaker_id: str):
+        st = self.stats[speaker_id]
+        if st["n"] == 0:
+            raise ValueError(f"no data accumulated for speaker {speaker_id}")
+        mean = st["sum"] / st["n"]
+        var = st["sum_sq"] / st["n"] - mean**2
+        return mean, float(np.sqrt(var + 1e-6))
+
+    def __call__(self, features, speaker_id: str):
+        import numpy as np
+
+        if speaker_id not in self.stats:
+            if self.pass_through:
+                return features
+            raise KeyError(f"stats for speaker {speaker_id} not computed")
+        mean, std = self.mean_std(speaker_id)
+        f = np.asarray(features, dtype=np.float32).copy()
+        if self.keep_zeros:
+            nz = f != 0
+            f[nz] = (f[nz] - mean) / std
+            return f
+        return (f - mean) / std
+
+    def to_meta(self) -> dict:
+        return {"keep_zeros": self.keep_zeros, "stats": self.stats}
+
+    @classmethod
+    def from_meta(cls, meta: dict) -> "SpeakerCMVN":
+        out = cls(keep_zeros=meta.get("keep_zeros", True))
+        out.stats = dict(meta.get("stats", {}))
+        return out

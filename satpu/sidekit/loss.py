@@ -157,3 +157,45 @@ class AngularProximityMagnet(nn.Module):
         bce = jnp.mean(jnp.maximum(cos, 0) - cos * mask + jnp.log1p(jnp.exp(-jnp.abs(cos))))
         loss = cross_entropy(ap, labels) + bce
         return loss, cce_pred
+
+
+class CircleProto(nn.Module):
+    """Circle loss with speaker prototypes + pairwise similarities
+    (loss.py:250-320; Sun et al., CVPR 2020). Batch layout: pairs like
+    SoftmaxAngularProto."""
+
+    emb_dim: int
+    speaker_count: int
+    s: float = 64.0
+    m: float = 0.40
+
+    def _circle(self, pos, neg):
+        alpha_p = jnp.clip(-jax.lax.stop_gradient(pos) + 1 + self.m, min=0.0)
+        alpha_n = jnp.clip(jax.lax.stop_gradient(neg) + self.m, min=0.0)
+        margin_p, margin_n = 1 - self.m, self.m
+        return jnp.mean(jax.nn.softplus(
+            jax.nn.logsumexp(self.s * (-alpha_p * (pos - margin_p)), axis=-1)
+            + jax.nn.logsumexp(self.s * (alpha_n * (neg - margin_n)), axis=-1)))
+
+    @nn.compact
+    def __call__(self, x, target: Optional[jnp.ndarray] = None):
+        w = self.param("weight", nn.initializers.xavier_uniform(),
+                       (self.speaker_count, self.emb_dim))
+        cosine = _normalize(x) @ _normalize(w).T
+        if target is None:
+            return jnp.nan, cosine * self.s
+        one_hot = jax.nn.one_hot(target, self.speaker_count).astype(bool)
+        pos = jnp.take_along_axis(cosine, target[:, None], axis=1)
+        neg = cosine[~one_hot].reshape(cosine.shape[0], cosine.shape[1] - 1)
+        loss = self._circle(pos, neg)
+        # pairwise prototype half (loss.py:298-318)
+        xp = x.reshape(-1, 2, x.shape[-1])
+        out_anchor = jnp.mean(xp[:, 1:, :], axis=1)
+        out_positive = xp[:, 0, :]
+        sim = _normalize(out_positive) @ _normalize(out_anchor).T
+        n = sim.shape[0]
+        eye = jnp.eye(n, dtype=bool)
+        ppos = sim[eye][:, None]
+        pneg = sim[~eye].reshape(n, n - 1)
+        loss = loss + self._circle(ppos, pneg)
+        return loss, cosine * self.s

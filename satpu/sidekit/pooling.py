@@ -5,7 +5,9 @@ Inputs are channels-last: [B, T, C] (1D trunks) or [B, F, T, C] (ResNets).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.torchlayers import BatchNorm, Conv1d
 
@@ -96,3 +98,47 @@ class GruPooling(nn.Module):
             cell = nn.GRUCell(features=self.gru_node, name=f"gru_l{layer}")
             x = nn.RNN(cell, name=f"rnn_l{layer}")(x)
         return x[:, -1, :]
+
+
+class ChannelWiseCorrPooling(nn.Module):
+    """Channel-wise correlation pooling (pooling.py:40-88): project grouped
+    (channel x merged-freq) maps, normalize over locations, and emit the
+    lower-triangular channel correlations per frequency group.
+
+    Input [B, T, F, C] (resnet NHWC); output [B, groups * C'*(C'-1)/2].
+    """
+
+    in_channels: int = 256
+    out_channels: int = 64
+    in_freqs: int = 10
+    channels_dropout: float = 0.25
+    merge_freqs_count: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert self.in_freqs % self.merge_freqs_count == 0
+        groups = self.in_freqs // self.merge_freqs_count
+        B, T, F, C = x.shape
+        num_locations = (T * F) / groups
+        if train and self.channels_dropout > 0:
+            mask = jax.random.bernoulli(
+                self.make_rng("augment"), 1.0 - self.channels_dropout, (1, 1, 1, C))
+            x = x * mask / (1.0 - self.channels_dropout)
+        # [B, T, C, Fr, f] -> [B, T, f, Fr, C] -> [B, Fr*C, T, f] grouped 1x1
+        x = jnp.transpose(x, (0, 1, 3, 2))  # [B, T, C, F]
+        x = x.reshape(B, T, C, groups, self.merge_freqs_count)
+        x = jnp.transpose(x, (0, 1, 4, 3, 2))  # [B, T, f, Fr, C]
+        # grouped 1x1 projection C -> C' per freq group (torch Conv2d groups)
+        w = self.param("proj", nn.initializers.lecun_normal(),
+                       (groups, C, self.out_channels))
+        b = self.param("proj_bias", nn.initializers.zeros,
+                       (groups, self.out_channels))
+        y = jnp.einsum("btfgc,gco->btfgo", x, w) + b  # [B, T, f, Fr, C']
+        # [B, Fr, C', T*f]
+        y = jnp.transpose(y, (0, 3, 4, 1, 2)).reshape(B, groups, self.out_channels, -1)
+        y = y - jnp.mean(y, axis=-1, keepdims=True)
+        y = y / (jnp.std(y, axis=-1, keepdims=True) + 1e-5)
+        corr = jnp.einsum("abci,abdi->abcd", y, y)  # [B, Fr, C', C']
+        tril = np.tril(np.ones((self.out_channels, self.out_channels), bool), -1)
+        out = corr[:, :, tril]  # [B, Fr, C'*(C'-1)/2]
+        return out.reshape(B, -1) / num_locations

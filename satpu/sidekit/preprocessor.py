@@ -107,3 +107,33 @@ def spec_masking(x: jnp.ndarray, key: jax.Array, time_mask_param: int = 5,
     x = jnp.where(f_mask[:, None, :], 0.0, x)
     x = jnp.where(t_mask[:, :, None], 0.0, x)
     return x
+
+
+def _dct2_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (torchaudio.functional.create_dct 'ortho')."""
+    n = np.arange(n_mels)
+    k = np.arange(n_mfcc)[:, None]
+    dct = np.cos(np.pi / n_mels * (n + 0.5) * k)  # [n_mfcc, n_mels]
+    dct[0] *= 1.0 / np.sqrt(2.0)
+    dct *= np.sqrt(2.0 / n_mels)
+    return dct.astype(np.float32)
+
+
+def mfcc_frontend(x: jnp.ndarray, n_fft: int = 2048, hop_length: int = 512,
+                  win_length: int = 1024, n_mels: int = 100, n_mfcc: int = 80,
+                  sample_rate: int = 16000, f_min: float = 133.333,
+                  f_max: float = 6855.4976, pre_emph: float = 0.97) -> jnp.ndarray:
+    """MfccFrontEnd (reference sidekit/preprocessor.py:13-78): pre-emphasis ->
+    mel power spectrogram -> natural-log mels -> orthonormal DCT-II (n_mfcc)
+    -> InstanceNorm CMVN. [B, T] -> [B, frames, n_mfcc]."""
+    if x.ndim == 1:
+        x = x[None, :]
+    y = pre_emphasis(x, pre_emph)
+    mag2 = torch_stft_mag2(y, n_fft, hop_length, win_length)  # [B, F, T]
+    fb = jnp.asarray(torchaudio_mel_fbanks(n_fft // 2 + 1, f_min, f_max, n_mels,
+                                           sample_rate))
+    mel = jnp.einsum("bft,fm->bmt", mag2, fb)  # [B, n_mels, T]
+    logmel = jnp.log(mel + 1e-6)
+    dct = jnp.asarray(_dct2_matrix(n_mfcc, n_mels))
+    mfcc = jnp.einsum("bmt,cm->bct", logmel, dct)  # [B, n_mfcc, T]
+    return instance_norm_1d(jnp.transpose(mfcc, (0, 2, 1)))
