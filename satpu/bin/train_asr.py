@@ -46,7 +46,9 @@ class TrainAsrOpts(cfg.Opts):
     den_fst: str = ""
     normalization_fst: str = ""
     num_pdfs: int = 0
-    model: str = "tdnnf"  # tdnnf | tdnnf_vq | tdnnf_dp | tdnnf_spkadv
+    # tdnnf | tdnnf_vq | tdnnf_dp | tdnnf_spkadv | tdnnf_wav2vec2[_vq]
+    model: str = "tdnnf"
+    wav2vec2_size: str = "large"  # large | base (for tdnnf_wav2vec2*)
     adversarial: bool = True  # for tdnnf_spkadv: gradient reversal on/off
     hidden_dim: int = 1024
     bottleneck_dim: int = 128
@@ -122,7 +124,29 @@ def main(argv=None):
                           natural_gradient=opts.natural_gradient)
     spk_index = None
     model_id, extra_params = "asrbn_tdnnf", {}
-    if opts.model == "tdnnf_spkadv":
+    preprocessor_schedule = None
+    if opts.model.startswith("tdnnf_wav2vec2"):
+        # B5 path (tuning/tdnnf_wav2vec2_vq.py): wav2vec2 front with layered
+        # LR (lr/20 early, lr/5 mid, frozen last 10%)
+        import dataclasses as _dc
+
+        from ..models.asrbn import Wav2Vec2TDNNFNet, wav2vec2_tdnnf_config
+        from ..models.wav2vec2 import Wav2Vec2Config
+
+        w2v2 = (Wav2Vec2Config.large() if opts.wav2vec2_size == "large"
+                else Wav2Vec2Config.base())
+        mcfg = _dc.replace(
+            wav2vec2_tdnnf_config(
+                output_dim=opts.num_pdfs,
+                bottleneck="vq" if opts.model.endswith("_vq") else "none",
+                codebook_size=opts.codebook_size),
+            hidden_dim=opts.hidden_dim, bottleneck_dim=opts.bottleneck_dim,
+            prefinal_bottleneck_dim=opts.prefinal_bottleneck_dim,
+            natural_gradient=opts.natural_gradient)
+        model = Wav2Vec2TDNNFNet(mcfg, w2v2)
+        model_id = "asrbn_tdnnf_wav2vec2"
+        extra_params = {"wav2vec2": _dc.asdict(w2v2)}
+    elif opts.model == "tdnnf_spkadv":
         # speaker-adversarial branch (tuning/tdnnf_spkadv.py:33-140)
         from ..models.spkadv import SpkAdvTDNNFNet
         from ..utils import kaldi_data
@@ -157,8 +181,15 @@ def main(argv=None):
         frac = jnp.minimum(step / float(total_steps), 1.0)
         return opts.lr_initial * jnp.exp(frac * log_ratio)
 
-    step_fn = jax.jit(make_chain_train_step(model, den, optimizer, topts,
-                                            lr_schedule=lr_at))
+    if opts.model.startswith("tdnnf_wav2vec2"):
+        def preprocessor_schedule(step):
+            frac = step / float(total_steps)
+            return jnp.where(frac < 0.1, 1.0 / 20.0,
+                             jnp.where(frac < 0.9, 1.0 / 5.0, 0.0))
+
+    step_fn = jax.jit(make_chain_train_step(
+        model, den, optimizer, topts, lr_schedule=lr_at,
+        preprocessor_schedule=preprocessor_schedule))
     valid_fn = jax.jit(make_chain_valid_step(model, den, topts))
     metrics_log = MetricsWriter(opts.dirname)
 

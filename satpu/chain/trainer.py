@@ -71,12 +71,19 @@ def init_chain_state(model, rng, example_wav, optimizer) -> ChainTrainState:
 
 def make_chain_train_step(model, den: DenominatorGraph, optimizer,
                           opts: ChainTrainOpts = ChainTrainOpts(),
-                          lr_schedule: Optional[Callable] = None):
+                          lr_schedule: Optional[Callable] = None,
+                          preprocessor_schedule: Optional[Callable] = None):
     """(state, wav [B,T], num_graphs, num_frames, rng) -> (state, metrics).
 
     num_graphs: padded per-utterance numerator FST arrays (jnp), batch-major.
     Data-parallel under a mesh: shard wav + num_graphs on batch, replicate
     state; XLA inserts the grad all-reduce.
+
+    ``preprocessor_schedule(step) -> mult`` scales the updates of every param
+    under a 'preprocessor' subtree — the reference's layered-LR + freeze
+    schedule for the wav2vec2 front (tuning/tdnnf_wav2vec2_vq.py:189-220:
+    lr/20 early, lr/5 mid-run, frozen for the last 10%). Scaling the UPDATE
+    (not the grad) matches per-group LR semantics under Adam.
     """
 
     def train_step(state: ChainTrainState, wav, num_graphs, num_frames, rng,
@@ -128,6 +135,15 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
                              "learning_rate": lr_schedule(state.step)})
             opt_state = (opt_state[0], inject)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        if preprocessor_schedule is not None:
+            mult = preprocessor_schedule(state.step)
+
+            def scale_preproc(path, u):
+                in_preproc = any(getattr(p, "key", None) == "preprocessor"
+                                 for p in path)
+                return u * mult if in_preproc else u
+
+            updates = jax.tree_util.tree_map_with_path(scale_preproc, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1, params=params,

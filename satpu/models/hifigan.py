@@ -66,6 +66,8 @@ class WNConv1d(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
+        elif x.dtype != kernel.dtype:
+            x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
@@ -105,6 +107,8 @@ class WNConvTranspose1d(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
+        elif x.dtype != kernel.dtype:
+            x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1,), padding=[(pad, pad)],
             lhs_dilation=(self.stride,),
@@ -210,7 +214,9 @@ class CoreHifiGan(nn.Module):
         x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
         out_ch = (c.istft_n_fft + 2) if c.istft_out else 1
         ch = c.upsample_initial_channel // (2 ** len(c.upsample_rates))
-        x = WNConv1d(ch, out_ch, 7, padding=3, name="conv_post")(x)
+        x = WNConv1d(ch, out_ch, 7, padding=3,
+                     dtype=jnp.bfloat16 if use_bf16 else None,
+                     name="conv_post")(x)
         x = x.astype(jnp.float32)  # waveform/tanh back in f32
         if c.istft_out:
             n = c.istft_n_fft // 2 + 1

@@ -261,3 +261,68 @@ def convert_wav2vec2(hf_state_dict: Dict[str, Any]) -> Dict[str, Any]:
     put(("encoder_layer_norm", "weight"), g("encoder.layer_norm.weight"))
     put(("encoder_layer_norm", "bias"), g("encoder.layer_norm.bias"))
     return {"params": p}
+
+
+def fairseq_to_hf_names(fairseq_sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Rename a raw fairseq/voxpopuli wav2vec2 state_dict to the HF
+    convention ``convert_wav2vec2`` consumes (the reference's import path:
+    utils/import_fairseq_model.py:37-113 + torchaudio's
+    import_fairseq._convert_state_dict)."""
+    out: Dict[str, Any] = {}
+    for k, v in fairseq_sd.items():
+        if k.startswith("w2v_encoder."):
+            k = k[len("w2v_encoder."):]
+        if k.startswith("w2v_model."):
+            k = k[len("w2v_model."):]
+        nk = None
+        if k.startswith("feature_extractor.conv_layers."):
+            parts = k.split(".")
+            i, sub = parts[2], ".".join(parts[3:])
+            if sub in ("0.weight",):
+                nk = f"feature_extractor.conv_layers.{i}.conv.weight"
+            elif sub in ("0.bias",):
+                nk = f"feature_extractor.conv_layers.{i}.conv.bias"
+            elif sub.startswith("2.1.") or sub.startswith("2."):
+                # group/layer norm (first layer in group_norm mode, every
+                # layer in layer_norm mode)
+                tail = sub.split(".")[-1]
+                nk = f"feature_extractor.conv_layers.{i}.layer_norm.{tail}"
+        elif k.startswith("layer_norm."):  # pre-projection LN
+            nk = "feature_projection.layer_norm." + k.split(".", 1)[1]
+        elif k.startswith("post_extract_proj."):
+            nk = "feature_projection.projection." + k.split(".", 1)[1]
+        elif k.startswith("encoder.pos_conv.0."):
+            nk = "encoder.pos_conv_embed.conv." + k[len("encoder.pos_conv.0."):]
+        elif k.startswith("encoder.layers."):
+            parts = k.split(".")
+            i, sub = parts[2], ".".join(parts[3:])
+            sub = (sub.replace("self_attn_layer_norm", "layer_norm")
+                      .replace("self_attn.", "attention.")
+                      .replace("fc1.", "feed_forward.intermediate_dense.")
+                      .replace("fc2.", "feed_forward.output_dense."))
+            nk = f"encoder.layers.{i}.{sub}"
+        elif k.startswith("encoder.layer_norm."):
+            nk = k
+        if nk is not None:
+            out[nk] = v
+    return out
+
+
+def convert_fairseq_wav2vec2(fairseq_sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Raw fairseq/voxpopuli wav2vec2 state_dict -> satpu flax params."""
+    return convert_wav2vec2(fairseq_to_hf_names(fairseq_sd))
+
+
+def import_fairseq_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a fairseq .pt (voxpopuli releases, s3prl-converted) and convert
+    (the reference's _load, utils/import_fairseq_model.py:18-34)."""
+    import torch
+
+    data = torch.load(path, map_location="cpu", weights_only=True)
+    if "model_weight" in data:  # s3prl-converted
+        sd = data["model_weight"]
+    elif "model" in data:
+        sd = data["model"]
+    else:
+        sd = data
+    return convert_fairseq_wav2vec2(sd)

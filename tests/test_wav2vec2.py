@@ -78,3 +78,110 @@ def test_wav2vec2_tdnnf_net_shapes(rng):
     bn = model.apply(variables, wav, train=False, method=model.extract_bn)
     assert bn.shape[2] == 16
     assert abs(bn.shape[1] - 100) <= 2  # ~/320 at stage-1 rate
+
+
+def test_fairseq_name_conversion_roundtrip():
+    """fairseq-named state dict -> HF names -> flax params matches converting
+    the HF-named dict directly (the voxpopuli import path,
+    utils/import_fairseq_model.py:37-113)."""
+    import torch
+
+    from satpu.models.wav2vec2 import convert_fairseq_wav2vec2, convert_wav2vec2
+
+    model = _hf_model(stable_layer_norm=True)
+    hf_sd = model.state_dict()
+
+    # inverse-rename the HF dict into raw fairseq naming
+    fs_sd = {}
+    for k, v in hf_sd.items():
+        nk = k
+        if k.startswith("feature_extractor.conv_layers."):
+            parts = k.split(".")
+            i, sub = parts[2], ".".join(parts[3:])
+            if sub.startswith("conv."):
+                nk = f"feature_extractor.conv_layers.{i}.0.{sub.split('.')[-1]}"
+            elif sub.startswith("layer_norm."):
+                nk = f"feature_extractor.conv_layers.{i}.2.1.{sub.split('.')[-1]}"
+        elif k.startswith("feature_projection.layer_norm."):
+            nk = "layer_norm." + k.split(".")[-1]
+        elif k.startswith("feature_projection.projection."):
+            nk = "post_extract_proj." + k.split(".")[-1]
+        elif k.startswith("encoder.pos_conv_embed.conv."):
+            tail = k[len("encoder.pos_conv_embed.conv."):]
+            tail = tail.replace("parametrizations.weight.original0", "weight_g")
+            tail = tail.replace("parametrizations.weight.original1", "weight_v")
+            nk = "encoder.pos_conv.0." + tail
+        elif k.startswith("encoder.layers."):
+            parts = k.split(".")
+            i, sub = parts[2], ".".join(parts[3:])
+            sub = (sub.replace("attention.", "self_attn.")
+                      .replace("feed_forward.intermediate_dense.", "fc1.")
+                      .replace("feed_forward.output_dense.", "fc2."))
+            if sub.startswith("layer_norm."):
+                sub = "self_attn_layer_norm." + sub.split(".")[-1]
+            nk = f"encoder.layers.{i}.{sub}"
+        fs_sd[nk] = v
+
+    import jax
+
+    ref = convert_wav2vec2(hf_sd)
+    got = convert_fairseq_wav2vec2(fs_sd)
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref)
+    got_flat = dict(jax.tree_util.tree_leaves_with_path(got))
+    assert len(ref_leaves) == len(got_flat)
+    for path, leaf in ref_leaves:
+        np.testing.assert_allclose(np.asarray(got_flat[path]), np.asarray(leaf),
+                                   err_msg=str(path))
+
+
+def test_wav2vec2_layered_lr_freeze(rng):
+    """preprocessor_schedule=0 freezes the wav2vec2 front while the TDNNF
+    stack still updates (tuning/tdnnf_wav2vec2_vq.py:189-220)."""
+    import jax
+    import jax.numpy as jnp
+
+    from satpu.chain.fst import (Fst, fst_to_arrays, linear_fst_from_pdf_sequence,
+                                 pad_graph_arrays)
+    from satpu.chain.objf import DenominatorGraph
+    from satpu.chain.trainer import (ChainTrainOpts, init_chain_state,
+                                     make_chain_optimizer, make_chain_train_step)
+    from satpu.models.asrbn import Wav2Vec2TDNNFNet, wav2vec2_tdnnf_config
+    from satpu.models.wav2vec2 import Wav2Vec2Config
+
+    num_pdfs = 8
+    den = DenominatorGraph.from_fst(Fst.from_text(
+        "\n".join(f"0 0 {p + 1} {p + 1} 2.0" for p in range(num_pdfs)) + "\n0 0.0"),
+        num_pdfs=num_pdfs)
+    import dataclasses as dc
+
+    mcfg = dc.replace(wav2vec2_tdnnf_config(output_dim=num_pdfs),
+                      hidden_dim=16, bottleneck_dim=8, prefinal_bottleneck_dim=8)
+    w2v2 = Wav2Vec2Config(hidden_size=32, num_layers=2, num_heads=4,
+                          intermediate_size=64, conv_dim=(16, 16, 16),
+                          conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+                          num_conv_pos_embeddings=16,
+                          num_conv_pos_embedding_groups=4)
+    model = Wav2Vec2TDNNFNet(mcfg, w2v2)
+    topts = ChainTrainOpts(lr=0.01)
+    opt = make_chain_optimizer(topts)
+    state = init_chain_state(model, jax.random.PRNGKey(0),
+                             np.zeros((2, 16000), np.float32), opt)
+    step = jax.jit(make_chain_train_step(
+        model, den, opt, topts, preprocessor_schedule=lambda s: jnp.asarray(0.0)))
+    wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    graphs = pad_graph_arrays([
+        fst_to_arrays(linear_fst_from_pdf_sequence([1, 2])),
+        fst_to_arrays(linear_fst_from_pdf_sequence([3, 4]))])
+    graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
+    n_out = model.apply({"params": state.params}, wav)[0].shape[1]
+    frames = jnp.asarray([n_out, n_out], jnp.int32)
+    new_state, metrics = step(state, wav, graphs, frames, jax.random.PRNGKey(1))
+    d_pre = jax.tree_util.tree_map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                                   new_state.params["preprocessor"],
+                                   state.params["preprocessor"])
+    d_rest = {k: v for k, v in new_state.params.items() if k != "preprocessor"}
+    d_rest = jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a - b)).max(), d_rest,
+        {k: v for k, v in state.params.items() if k != "preprocessor"})
+    assert max(jax.tree_util.tree_leaves(d_pre)) == 0.0, "preprocessor not frozen"
+    assert max(jax.tree_util.tree_leaves(d_rest)) > 0.0, "tdnnf did not update"
