@@ -114,3 +114,38 @@ def test_split_dict():
     for s in shards:
         merged.update(s)
     assert merged == d
+
+
+def test_run_with_retry_caps():
+    import pytest
+
+    from satpu.utils.jobs import run_with_retry
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise ValueError("boom")
+        return "ok"
+
+    assert run_with_retry(flaky, max_retries=5, backoff=0) == "ok"
+    assert len(calls) == 3
+    with pytest.raises(RuntimeError):
+        run_with_retry(lambda: (_ for _ in ()).throw(ValueError("x")),
+                       max_retries=2, backoff=0)
+
+
+def test_run_parallel_failfast(tmp_path):
+    import sys
+    import time
+
+    from satpu.utils.jobs import run_parallel_failfast
+
+    slow = [sys.executable, "-c", "import time; time.sleep(30)"]
+    fail = [sys.executable, "-c", "import sys; sys.exit(3)"]
+    t0 = time.time()
+    rcs = run_parallel_failfast([slow, fail, slow])
+    assert time.time() - t0 < 15, "siblings were not killed promptly"
+    assert 3 in rcs
+    assert all(rc is not None for rc in rcs)

@@ -156,7 +156,8 @@ def test_wav2vec2_layered_lr_freeze(rng):
 
     mcfg = dc.replace(wav2vec2_tdnnf_config(output_dim=num_pdfs),
                       hidden_dim=16, bottleneck_dim=8, prefinal_bottleneck_dim=8)
-    w2v2 = Wav2Vec2Config(hidden_size=32, num_layers=2, num_heads=4,
+    w2v2 = Wav2Vec2Config(hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=4,
                           intermediate_size=64, conv_dim=(16, 16, 16),
                           conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
                           num_conv_pos_embeddings=16,
@@ -173,7 +174,7 @@ def test_wav2vec2_layered_lr_freeze(rng):
         fst_to_arrays(linear_fst_from_pdf_sequence([1, 2])),
         fst_to_arrays(linear_fst_from_pdf_sequence([3, 4]))])
     graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
-    n_out = model.apply({"params": state.params}, wav)[0].shape[1]
+    n_out = model.apply({"params": state.params, "batch_stats": state.batch_stats}, wav)[0].shape[1]
     frames = jnp.asarray([n_out, n_out], jnp.int32)
     new_state, metrics = step(state, wav, graphs, frames, jax.random.PRNGKey(1))
     d_pre = jax.tree_util.tree_map(lambda a, b: np.abs(np.asarray(a - b)).max(),
