@@ -590,6 +590,19 @@ def prepare_chain_data(data_dir: str, out_dir: str,
         write_fst_ark({u: fsts[u] for u in sorted(valid_utts)},
                       os.path.join(out_dir, "fst_valid.ark"),
                       os.path.join(out_dir, "fst_valid.scp"))
+    # decoding graph + word table (mkgraph equivalent) for eval_anon
+    try:
+        vocab, _, wtrans, wfinal = estimate_word_bigram(
+            [t.split() for t in utt2text.values()])
+        graph, word_table = make_decode_graph(tree, lexicon, phone_id, vocab,
+                                              wtrans, wfinal)
+        graph.write(os.path.join(out_dir, "HCLG.fst"))
+        with open(os.path.join(out_dir, "words.txt"), "w") as f:
+            f.write("<eps> 0\n")
+            for i, w in word_table.items():
+                f.write(f"{w} {i}\n")
+    except Exception as e:  # pragma: no cover - graph build is best-effort
+        logging.warning("decode graph build failed: %s", e)
     logging.info("prepare_chain_data: %d phones, %d pdfs, %d train / %d valid "
                  "numerator graphs, den %d states / %d arcs",
                  len(phones), tree.num_pdfs, len(utts) - len(valid_utts),
@@ -600,3 +613,98 @@ def prepare_chain_data(data_dir: str, out_dir: str,
             "fst_train_scp": os.path.join(out_dir, "fst_train.scp"),
             "fst_valid_scp": os.path.join(out_dir, "fst_valid.scp") if valid_utts else "",
             "tree": tree}
+
+
+# ---------------------------------------------------------------------------
+# Decoding graph (HCLG equivalent, kaldi utils/mkgraph.sh without kaldi)
+# ---------------------------------------------------------------------------
+
+
+def estimate_word_bigram(texts: Sequence[Sequence[str]], interp: float = 0.5):
+    """Interpolated word bigram: returns (words, init, trans, final) like
+    estimate_phone_bigram but over a word vocabulary."""
+    vocab = sorted({w for t in texts for w in t})
+    word_id = {w: i + 1 for i, w in enumerate(vocab)}
+    seqs = [[word_id[w] for w in t] for t in texts]
+    init, trans, final = estimate_phone_bigram(seqs, len(vocab), interp=interp)
+    return vocab, init, trans, final
+
+
+def make_decode_graph(tree: BiphoneTree, lexicon: Lexicon,
+                      phone_id: Dict[str, int], vocab: List[str],
+                      trans: np.ndarray, final: np.ndarray,
+                      optional_sil: bool = True,
+                      prune_floor: float = 1e-4) -> Tuple[Fst, Dict[int, str]]:
+    """Word-bigram decoding graph over pdf+1 input labels with word output
+    labels — the HCLG the reference builds with kaldi mkgraph
+    (prepare_data.sh stage 6). States are (lm_state, word, phone_pos,
+    left_phone) expanded through the chain topology; optional silence may be
+    taken between words. Suitable for small/medium vocabularies (the python
+    expansion is explicit, not determinized-shared).
+
+    Returns (graph, word_table {id: word}).
+    """
+    V = len(vocab)
+    word_phones = {i + 1: [phone_id[p] for p in (lexicon.word_phones(vocab[i]) or [])]
+                   for i in range(V)}
+    word_phones = {w: ph for w, ph in word_phones.items() if ph}
+    sil = phone_id.get(lexicon.sil)
+    fst = Fst()
+    # boundary state per (lm_state q, left_phone l): between words
+    bstate: Dict[Tuple[int, int], int] = {}
+
+    def get_b(q: int, l: int) -> int:
+        key = (q, l)
+        if key not in bstate:
+            s = fst.add_state()
+            bstate[key] = s
+            if q > 0 and final[q] > prune_floor:
+                fst.set_final(s, -math.log(final[q]))
+        return bstate[key]
+
+    fst.start = get_b(0, 0)
+    todo = [(0, 0)]
+    seen = {(0, 0)}
+    while todo:
+        q, l = todo.pop()
+        src = get_b(q, l)
+        # optional silence before the next word (self-transition on boundary)
+        if optional_sil and sil is not None and l != sil:
+            mid = fst.add_state()
+            fp, sp = tree.forward_pdf(l, sil) + 1, tree.selfloop_pdf(l, sil) + 1
+            fst.add_arc(src, Arc(fp, 0, 0.0, mid))
+            fst.add_arc(mid, Arc(sp, 0, 0.0, mid))
+            key = (q, sil)
+            dst = get_b(q, sil)
+            fst.add_arc(mid, Arc(0, 0, 0.0, dst))
+            if key not in seen:
+                seen.add(key)
+                todo.append(key)
+        for w, phones in word_phones.items():
+            p_lm = trans[q, w]
+            if p_lm <= prune_floor:
+                continue
+            cost = -math.log(p_lm)
+            cur, left = src, l
+            for pos, ph in enumerate(phones):
+                mid = fst.add_state()
+                fp, sp = tree.forward_pdf(left, ph) + 1, tree.selfloop_pdf(left, ph) + 1
+                # word output + LM weight on the first arc of the word
+                fst.add_arc(cur, Arc(fp, w if pos == 0 else 0,
+                                     cost if pos == 0 else 0.0, mid))
+                fst.add_arc(mid, Arc(sp, 0, 0.0, mid))
+                if pos + 1 < len(phones):
+                    nxt = fst.add_state()
+                    fst.add_arc(mid, Arc(0, 0, 0.0, nxt))
+                    cur, left = nxt, ph
+                else:
+                    key = (w, ph)
+                    dst = get_b(w, ph)
+                    fst.add_arc(mid, Arc(0, 0, 0.0, dst))
+                    if key not in seen:
+                        seen.add(key)
+                        todo.append(key)
+    from .fst import fst_connect, fst_rmepsilon
+
+    graph = fst_connect(fst_rmepsilon(fst))
+    return graph, {i + 1: w for i, w in enumerate(vocab)}

@@ -100,19 +100,48 @@ class WNConvTranspose1d(nn.Module):
                            nn.initializers.normal(0.01)(key, shape) ** 2,
                            axis=(1, 2), keepdims=True)), (self.in_channels, 1, 1))
         w = _weight_norm(v, g)  # [in, out, k]
-        k = self.kernel_size
-        # flip kernel and express transpose-conv as lhs-dilated conv
-        kernel = jnp.transpose(w[:, :, ::-1], (2, 0, 1))  # [k, in, out]
-        pad = k - 1 - self.padding
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            kernel = kernel.astype(self.dtype)
-        elif x.dtype != kernel.dtype:
-            x = x.astype(kernel.dtype)
-        y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1,), padding=[(pad, pad)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NWC", "WIO", "NWC"))
+        k, u, pad = self.kernel_size, self.stride, self.padding
+        if (k - u) % 2 == 0 and pad == (k - u) // 2 and u > 1:
+            # polyphase / subpixel formulation: XLA TPU lowers lhs_dilation
+            # (the textbook transpose-conv) to a very slow path; instead run
+            # ONE stride-1 conv producing u*C_out channels and interleave
+            # them into time. y[t*u + j] = sum_m x[t-m] W[:, :, m*u + j + pad]
+            # - identical arithmetic, MXU-shaped.
+            m_hi = (k - 1 - pad) // u
+            m_lo = -((u - 1 + pad) // u)
+            M = m_hi - m_lo + 1
+            kernel = jnp.zeros((M, self.in_channels, u * self.out_channels),
+                               w.dtype)
+            for m in range(m_lo, m_hi + 1):
+                for j in range(u):
+                    kappa = m * u + j + pad
+                    if 0 <= kappa < k:
+                        kernel = kernel.at[m_hi - m, :,
+                                           j * self.out_channels:(j + 1) * self.out_channels].set(
+                            w[:, :, kappa])
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                kernel = kernel.astype(self.dtype)
+            elif x.dtype != kernel.dtype:
+                x = x.astype(kernel.dtype)
+            y = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1,), padding=[(m_hi, -m_lo)],
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            B, T = y.shape[0], y.shape[1]
+            y = y.reshape(B, T * u, self.out_channels)
+        else:
+            # flip kernel and express transpose-conv as lhs-dilated conv
+            kernel = jnp.transpose(w[:, :, ::-1], (2, 0, 1))  # [k, in, out]
+            lpad = k - 1 - pad
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                kernel = kernel.astype(self.dtype)
+            elif x.dtype != kernel.dtype:
+                x = x.astype(kernel.dtype)
+            y = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1,), padding=[(lpad, lpad)],
+                lhs_dilation=(self.stride,),
+                dimension_numbers=("NWC", "WIO", "NWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + b.astype(y.dtype)

@@ -189,8 +189,8 @@ def linear_resample_compact(x: jnp.ndarray, num_valid: jnp.ndarray, out_len: int
     return x[lo] * (1.0 - frac) + x[hi] * frac
 
 
-def viterbi_path(local: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
-    """Lowest-cost candidate path, the reference's path1 (yaapt.py:530-570).
+def viterbi_path_scan(local: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
+    """Sequential-reference Viterbi (lax.scan), kept for equivalence tests.
 
     local [C, T]; trans [C, C, T] with trans[next, prev, t]. Ties resolved
     like the reference (argmin of the flipped array = LAST argmin).
@@ -218,6 +218,52 @@ def viterbi_path(local: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
 
     first, path_tail_rev = jax.lax.scan(back, end, preds[::-1])
     path = jnp.concatenate([jnp.array([first]), path_tail_rev[::-1]])
+    return path  # [T]
+
+
+def viterbi_path(local: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
+    """Lowest-cost candidate path, the reference's path1 (yaapt.py:530-570),
+    as PARALLEL prefix work: a 500-step lax.scan costs ~500 dispatch-depth on
+    TPU and dominated the whole anonymization profile; min-plus matrix
+    products are associative, so the forward costs come from one
+    ``associative_scan`` (log2 T levels of tiny CxC min-plus products),
+    predecessors are then a single batched argmin over all frames, and the
+    backtrace is a second associative scan composing predecessor maps.
+    Tie-breaking matches the reference (LAST argmin).
+
+    local [C, T]; trans [C, C, T] with trans[next, prev, t].
+    """
+    C, T = local.shape
+    if T == 1:
+        return jnp.array([C - 1 - jnp.argmin(local[::-1, 0])])
+
+    def last_argmin(v, axis):
+        return v.shape[axis] - 1 - jnp.argmin(jnp.flip(v, axis=axis), axis=axis)
+
+    # A_t[c, k] = trans[c, k, t] + local[c, t] for t = 1..T-1
+    A = jnp.moveaxis(trans[:, :, 1:], 2, 0) + local.T[1:, :, None]  # [T-1, C, C]
+
+    def minplus(left, right):
+        # prefix[t] = A_t (.) prefix[t-1]: combine(L, R) = R (.) L
+        return jnp.min(right[..., :, :, None] + left[..., None, :, :], axis=-2)
+
+    prefix = jax.lax.associative_scan(minplus, A, axis=0)  # [T-1, C, C]
+    # cost_t(c) for t = 0..T-1 ([T, C])
+    cost0 = local[:, 0]
+    costs = jnp.concatenate(
+        [cost0[None, :], jnp.min(prefix + cost0[None, None, :], axis=-1)], axis=0)
+    # predecessors for all frames in parallel: K_t[c] = last_argmin_k
+    # (cost_{t-1}(k) + trans[c, k, t])
+    aux = costs[:-1, None, :] + jnp.moveaxis(trans, 2, 0)[1:]  # [T-1, C, C]
+    preds = last_argmin(aux, axis=2)  # [T-1, C]
+    end = C - 1 - jnp.argmin(costs[-1][::-1])
+    # backtrace: path_t = (K_{t+1} o K_{t+2} o ... o K_{T-1})(end); compose
+    # predecessor maps with a reverse associative scan (map composition is
+    # associative: combine(f, g) = f[g] applies g first)
+    suffix = jax.lax.associative_scan(
+        lambda f, g: jnp.take_along_axis(g, f, axis=-1), preds, axis=0,
+        reverse=True)  # suffix[t] = K_{t+1} o ... o K_{T-1} evaluated pointwise
+    path = jnp.concatenate([suffix[:, end], jnp.array([end])])
     return path  # [T]
 
 
@@ -484,16 +530,17 @@ def time_track(filtered: jnp.ndarray, spec_pitch, pitch_std, energy, vuv,
     Ns = jnp.clip(N_f, 1, None)
     ks_j = jnp.asarray(ks)  # [K]
     t_j = jnp.arange(data_len)  # [L]
-    shift_idx = jnp.clip(t_j[None, :] + ks_j[:, None], 0, data_len - 1)  # [K, L]
-    valid_t = (t_j[None, :] + ks_j[:, None]) < data_len
-    xk = x[:, shift_idx]  # [F, K, L]
-    prod = jnp.where(valid_t[None], x[:, None, :] * xk, 0.0)
-    cnum = jnp.cumsum(prod, axis=-1)  # [F, K, L]
-    # numerator(k, N) = cnum[..., N-1]  (N-1 < L-k always since N = L-lag_max)
+    # numerator(k, N_f) = sum_{t < N_f} x[t] x[t+k]: a cross-correlation of
+    # the N_f-masked signal against the full frame. One FFT per frame
+    # replaces the [F, K, L] product+cumsum monster (which dominated the
+    # whole anonymization device profile at ~40 ms/batch per track).
+    xm = x * (t_j[None, :] < Ns[:, None])
+    nfft_corr = 1 << int(np.ceil(np.log2(data_len + glag_max + 1)))
+    X = jnp.fft.rfft(x, nfft_corr)
+    Xm = jnp.fft.rfft(xm, nfft_corr)
+    corr = jnp.fft.irfft(jnp.conj(Xm) * X, nfft_corr)  # corr[k]=sum_t xm[t]x[t+k]
+    num = corr[:, ks_j]  # [F, K]
     n_idx = jnp.clip(Ns - 1, 0, data_len - 1)  # [F]
-    num = jnp.take_along_axis(
-        cnum, jnp.broadcast_to(n_idx[:, None, None], (x.shape[0], len(ks), 1)),
-        axis=2)[..., 0]  # [F, K]
     # sum_{t<N} x[t+k]^2 = cs_sq[k+N-1] - cs_sq[k-1]
     hi_i = jnp.clip(ks_j[None, :] + Ns[:, None] - 1, 0, data_len - 1)  # [F, K]
     upper = jnp.take_along_axis(cs_sq, hi_i, axis=1)

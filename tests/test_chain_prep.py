@@ -113,3 +113,54 @@ def test_phone_bigram_normalized():
     rowsum = trans.sum(axis=1) + final
     np.testing.assert_allclose(rowsum[1:], 1.0, atol=1e-8)
     assert (trans[:, 1:] > 0).all()
+
+
+def test_decode_graph_recovers_words():
+    """make_decode_graph (the kaldi-mkgraph equivalent): loglikes crafted
+    along a known pdf path decode back to the word sequence."""
+    import numpy as np
+
+    from satpu import native
+    from satpu.chain.prep import (BiphoneTree, Lexicon, estimate_word_bigram,
+                                  make_decode_graph, text_to_phones)
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native decoder unavailable")
+    texts = [t.split() for t in ("ab ba", "ba ab", "ab ab ba")]
+    lex = Lexicon.grapheme([w for t in texts for w in t])
+    phones = lex.phones()
+    phone_id = {p: i + 1 for i, p in enumerate(phones)}
+    import random
+
+    seqs = [[phone_id[p] for p in text_to_phones(t, lex, 0.0, random.Random(0))]
+            for t in texts]
+    tree = BiphoneTree.build(seqs, phones)
+    vocab, init, trans, final = estimate_word_bigram(texts)
+    graph, word_table = make_decode_graph(tree, lex, phone_id, vocab, trans,
+                                          final)
+    assert graph.num_states > 0
+
+    # craft loglikes tracing "ab ba": SIL? words use optional sil between —
+    # follow the graph-intended pdf sequence: a b (word "ab"), b a (word "ba"),
+    # with biphone left contexts as the graph tracks them (BOS=0 for first)
+    def pdfs_for(words):
+        out = []
+        left = 0
+        for w in words:
+            for ph in [phone_id[c] for c in w]:
+                out.append(tree.forward_pdf(left, ph))
+                out.append(tree.selfloop_pdf(left, ph))  # 2 frames per phone
+                left = ph
+        return out
+
+    path = pdfs_for(["ab", "ba"])
+    T, P = len(path), tree.num_pdfs
+    ll = np.full((T, P), -8.0, np.float32)
+    for t, pdf in enumerate(path):
+        ll[t, pdf] = 0.0
+    ng = native.NativeGraph(graph)
+    words, align, cost = native.decode(ng, ll, acoustic_scale=1.0, beam=30.0)
+    hyp = " ".join(word_table[w] for w in words)
+    assert hyp == "ab ba", f"decoded {hyp!r}"
