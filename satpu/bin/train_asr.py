@@ -45,6 +45,7 @@ class TrainAsrOpts(cfg.Opts):
     valid_fst_scp: str = ""
     den_fst: str = ""
     normalization_fst: str = ""
+    trans_mdl: str = ""  # kaldi 0.trans_mdl for transition-id-labeled graphs
     num_pdfs: int = 0
     # tdnnf | tdnnf_vq | tdnnf_dp | tdnnf_spkadv | tdnnf_wav2vec2[_vq]
     model: str = "tdnnf"
@@ -103,7 +104,8 @@ def main(argv=None):
     norm_fst = opts.normalization_fst or None
     ds = EgsDataset(os.path.join(opts.train_set, "wav.scp"), opts.fst_scp,
                     os.path.join(opts.train_set, "utt2len"),
-                    normalization_fst=norm_fst)
+                    normalization_fst=norm_fst,
+                    trans_mdl=opts.trans_mdl or None)
     removed = ds.filter_min_path()
     logging.info("egs: %d utts (%d removed by min-path check)", len(ds), removed)
 
@@ -112,7 +114,8 @@ def main(argv=None):
         valid_ds = EgsDataset(os.path.join(opts.valid_set, "wav.scp"),
                               opts.valid_fst_scp,
                               os.path.join(opts.valid_set, "utt2len"),
-                              normalization_fst=norm_fst)
+                              normalization_fst=norm_fst,
+                              trans_mdl=opts.trans_mdl or None)
         valid_ds.filter_min_path()
 
     bottleneck = ("vq" if opts.model == "tdnnf_vq" else

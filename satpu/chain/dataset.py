@@ -74,7 +74,8 @@ class EgsDataset:
                  frame_subsampling: int = 3, samples_per_frame: int = 160,
                  transform_pipeline: Optional[Dict] = None,
                  noise_db=None, rir_db=None, seed: int = 42,
-                 normalization_fst: Optional[str] = None):
+                 normalization_fst: Optional[str] = None,
+                 trans_mdl: Optional[str] = None):
         self.samples_per_frame = samples_per_frame
         self.frame_subsampling = frame_subsampling
         self.transform_pipeline = transform_pipeline
@@ -86,6 +87,14 @@ class EgsDataset:
         # objective matches Kaldi semantics
         self.normalization_fst = (Fst.read(normalization_fst)
                                   if normalization_fst else None)
+        # kaldi-prepared graphs carry transition-id labels: relabel to pdf+1
+        # through the transition model (reference 0.trans_mdl +
+        # TrainingGraphToSupervisionE2e, csrc/pkwrap-main.h:112)
+        self.trans_mdl = None
+        if trans_mdl:
+            from .hmm import read_transition_model
+
+            self.trans_mdl = read_transition_model(trans_mdl)
         utt2wav = kaldi_data.read_wav_scp(wav_scp)
         utt2fst = kaldi_data.read_wav_scp(fst_scp)
         u2l = kaldi_data.read_utt2len_file(utt2len)
@@ -137,6 +146,10 @@ class EgsDataset:
             wavs[j, : len(x)] = x
             frames.append(self.output_frames(e.num_samples))
             g = e.load_fst()
+            if self.trans_mdl is not None:
+                from .hmm import relabel_fst_to_pdfs
+
+                g = relabel_fst_to_pdfs(g, self.trans_mdl)
             if self.normalization_fst is not None:
                 g = fst_compose_acceptor(g, self.normalization_fst)
                 if g.num_states == 0:

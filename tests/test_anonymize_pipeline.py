@@ -98,3 +98,30 @@ def test_pipeline_end_to_end(tmp_path):
         assert np.isfinite(wav).all()
     # utt2spk copied over
     assert os.path.exists(os.path.join(out_dir, "utt2spk"))
+
+
+def test_bucket_for_overflow_rounds_up():
+    from satpu.bin.pipeline import bucket_for
+
+    assert bucket_for(100, (200, 400)) == 200
+    assert bucket_for(401, (200, 400)) == 800  # multiple of the largest
+    assert bucket_for(1201, (200, 400)) == 1600
+
+
+def test_pipeline_sharded_merge(tmp_path):
+    from satpu import infer_helper
+    from satpu.bin.pipeline import process_data
+    from satpu.utils import kaldi_data
+
+    ckpt = _tiny_anon_checkpoint(tmp_path)
+    data_dir = _make_data_dir(tmp_path)
+    model, variables, meta = infer_helper.load_model(ckpt)
+    for shard in range(2):
+        out_dir = process_data(
+            model, variables, meta["speakers"], data_dir,
+            str(tmp_path / "wavs_sh"), target_selection_algorithm="constant",
+            target_constant_spkid=meta["speakers"][0], batch_size=2,
+            buckets=(8000, 16000, 24000), num_shards=2, shard=shard,
+            new_datadir_suffix="_anon_sh")
+    scp = kaldi_data.read_wav_scp(os.path.join(out_dir, "wav.scp"))
+    assert len(scp) == 5  # merged across both shards
