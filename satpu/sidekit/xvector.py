@@ -21,7 +21,7 @@ from ..models.torchlayers import BatchNorm, Linear
 from .archi import PreEcapaTDNN, PreHalfResNet34
 from .loss import ArcMarginProduct
 from .pooling import AttentivePooling, AttentiveStatsPool
-from .preprocessor import mel_spec_frontend, spec_masking
+from .preprocessor import mel_spec_frontend, mfcc_frontend, spec_masking
 
 
 def _normalize(x, axis=-1, eps=1e-12):
@@ -38,6 +38,20 @@ class XVectorConfig:
     arc_s: float = 30.0
     arc_m: float = 0.2
     spec_augment: bool = True
+    # "melspec" | "mfcc" | "wavlm" (sidekit/preprocessor.py frontends)
+    frontend: str = "melspec"
+    wavlm: object = None  # WavLMConfig when frontend == "wavlm"
+
+
+def _apply_frontend(module, c, wav, train):
+    if c.frontend == "mfcc":
+        return mfcc_frontend(wav, n_mfcc=c.n_mels)
+    if c.frontend == "wavlm":
+        from ..models.wavlm import WavLMConfig, WavLmFrontEnd
+
+        cfg = c.wavlm or WavLMConfig.large()
+        return WavLmFrontEnd(cfg, name="preprocessor")(wav, train=train)
+    return mel_spec_frontend(wav, n_mels=c.n_mels)
 
 
 class EcapaXVector(nn.Module):
@@ -47,10 +61,11 @@ class EcapaXVector(nn.Module):
     def __call__(self, wav: jnp.ndarray, target: Optional[jnp.ndarray] = None,
                  train: bool = False, arc_m: Optional[float] = None):
         c = self.cfg
-        x = mel_spec_frontend(wav, n_mels=c.n_mels)  # [B, T, F]
-        if train and c.spec_augment:
+        x = _apply_frontend(self, c, wav, train)  # [B, T, F]
+        if train and c.spec_augment and c.frontend != "wavlm":
             x = spec_masking(x, self.make_rng("augment"))
-        x = PreEcapaTDNN(c.n_mels, c.channels, name="sequence_network")(x, train=train)
+        in_feat = x.shape[-1]
+        x = PreEcapaTDNN(in_feat, c.channels, name="sequence_network")(x, train=train)
         x = AttentiveStatsPool(c.channels * 3, 128, name="stat_pooling")(x)
         x = Linear(c.channels * 3 * 2, c.embedding_size, use_bias=False,
                    name="before_speaker_embedding_lin")(x)
@@ -69,12 +84,14 @@ class ResNetXVector(nn.Module):
     def __call__(self, wav: jnp.ndarray, target: Optional[jnp.ndarray] = None,
                  train: bool = False, arc_m: Optional[float] = None):
         c = self.cfg
-        x = mel_spec_frontend(wav, n_mels=c.n_mels)
-        if train and c.spec_augment:
+        x = _apply_frontend(self, c, wav, train)
+        if train and c.spec_augment and c.frontend != "wavlm":
             x = spec_masking(x, self.make_rng("augment"))
+        in_feat = x.shape[-1]
         x = PreHalfResNet34(name="sequence_network")(x, train=train)  # [B, F', T', 256]
-        x = AttentivePooling(256, 10, global_context=True, name="stat_pooling")(x, train=train)
-        x = Linear(5120, c.embedding_size, use_bias=False,
+        x = AttentivePooling(256, in_feat // 8, global_context=True,
+                             name="stat_pooling")(x, train=train)
+        x = Linear(256 * (in_feat // 8) * 2, c.embedding_size, use_bias=False,
                    name="before_speaker_embedding_lin_be")(x)
         x = BatchNorm(c.embedding_size, name="before_speaker_embedding_bn_be")(x, train=train)
         x_vector = _normalize(x, axis=1)

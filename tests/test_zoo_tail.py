@@ -151,3 +151,28 @@ def test_m2o_anonymizer():
     # no speaker one-hot params anywhere: input dim = bn + 1
     pre_v = v["params"]["hifigan"]["conv_pre"]["weight_v"]
     assert pre_v.shape[1] == cfg.bn_dim + 1
+
+
+def test_xvector_frontend_variants(rng):
+    """MFCC / WavLM frontends plug into both ASV trunks
+    (reference preprocessor.py alternatives)."""
+    import jax
+
+    from satpu.models.wavlm import WavLMConfig
+    from satpu.sidekit.xvector import XVectorConfig, build_xvector
+
+    wl = WavLMConfig(hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+                     intermediate_size=64, conv_dim=(16, 16, 16),
+                     conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+                     num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+                     num_buckets=32, max_bucket_distance=50)
+    wav = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    for cfg in (XVectorConfig(num_speakers=4, frontend="mfcc", channels=32,
+                              embedding_size=16),
+                XVectorConfig(num_speakers=4, frontend="wavlm", wavlm=wl,
+                              channels=32, embedding_size=16),
+                XVectorConfig(num_speakers=4, frontend="mfcc", arch="resnet")):
+        m = build_xvector(cfg)
+        v = jax.jit(lambda k, w, m=m: m.init(k, w))(jax.random.PRNGKey(0), wav)
+        (loss, logits), xv = m.apply(v, wav)
+        assert logits.shape == (2, 4) and np.isfinite(np.asarray(xv)).all()
