@@ -35,6 +35,10 @@ class AnonymizeOpts(cfg.Opts):
     seed: int = 0
     num_shards: int = 1
     shard: int = 0
+    # local process fan-out (the reference's ngpu x jobs fork,
+    # bin/anonymize:82-93): run num_procs shards as subprocesses with
+    # fail-fast sibling termination
+    num_procs: int = 1
 
 
 def main(argv=None):
@@ -53,6 +57,28 @@ def main(argv=None):
     if not opts.checkpoint or not opts.directory:
         print("need --checkpoint and --directory", file=sys.stderr)
         return 2
+
+    if opts.num_procs > 1:
+        import sys as _sys
+
+        from ..utils.jobs import run_parallel_failfast
+
+        cmds = []
+        base = []
+        skip = False
+        for a in (argv if argv is not None else _sys.argv[1:]):
+            if skip:
+                skip = False
+                continue
+            if a.startswith("--num-procs"):
+                skip = "=" not in a
+                continue
+            base.append(a)
+        for k in range(opts.num_procs):
+            cmds.append([_sys.executable, "-m", "satpu.bin.anonymize", *base,
+                         "--num-shards", str(opts.num_procs), "--shard", str(k)])
+        rcs = run_parallel_failfast(cmds)
+        return 0 if all(rc == 0 for rc in rcs) else 1
 
     from .. import infer_helper
     from .pipeline import process_data
