@@ -41,6 +41,9 @@ class EvalOpts(cfg.Opts):
     lm_scale: float = 1.0
     nbest: int = 100
     write_ctm: bool = False
+    dump_loglikes: str = ""  # optional ark path: per-utt loglike matrices
+                             # (the reference's --mode decode | infer ark flow,
+                             # chain/model.py:269-331)
     asv_checkpoint: str = ""
     enroll_dir: str = ""  # data dir of enrollment utterances
     trials: str = ""  # "spk utt target|nontarget" lines
@@ -96,6 +99,12 @@ def evaluate_asr(opts) -> dict:
 
     hyps = {}
     ctm_lines = []
+    ll_writer = None
+    if opts.dump_loglikes:
+        from ..utils.scp_io import FileWriter
+
+        ll_writer = FileWriter(opts.dump_loglikes,
+                               os.path.splitext(opts.dump_loglikes)[0] + ".scp")
     B = opts.batch_size
     for i in range(0, len(entries), B):
         batch = entries[i : i + B]
@@ -109,6 +118,8 @@ def evaluate_asr(opts) -> dict:
         ll_b = np.asarray(loglikes(wav_b, lens))
         for j, (utt, w) in enumerate(batch):
             ll = ll_b[j, : output_num_frames(len(w))]
+            if ll_writer is not None:
+                ll_writer.write(utt, np.asarray(ll, np.float32))
             if use_native:
                 lat = native.decode_lattice(
                     ng, ll, acoustic_scale=opts.acoustic_scale, beam=opts.beam,
@@ -131,6 +142,8 @@ def evaluate_asr(opts) -> dict:
                                        acoustic_scale=opts.acoustic_scale,
                                        word_table=words)
                 hyps[utt] = res.text
+    if ll_writer is not None:
+        ll_writer.close()
     if ctm_lines:
         with open(os.path.join(opts.results, "hyp.ctm"), "w") as f:
             f.write("\n".join(ctm_lines) + "\n")
