@@ -95,6 +95,7 @@ class EgsDataset:
             from .hmm import read_transition_model
 
             self.trans_mdl = read_transition_model(trans_mdl)
+        self._supervision_cache: Dict[int, object] = {}
         utt2wav = kaldi_data.read_wav_scp(wav_scp)
         utt2fst = kaldi_data.read_wav_scp(fst_scp)
         u2l = kaldi_data.read_utt2len_file(utt2len)
@@ -125,10 +126,37 @@ class EgsDataset:
                 removed += 1
         self.egs = keep
         self.utt_index = {e.utt: i for i, e in enumerate(self.egs)}
+        self._supervision_cache.clear()  # indices changed
         return removed
 
     def __len__(self) -> int:
         return len(self.egs)
+
+    def supervision_arrays(self, index: int):
+        """Normalized, epsilon-free supervision arrays for one utterance,
+        memoized: composition + epsilon removal are pure per-utterance work
+        (the reference also normalizes once per eg, chain/dataset.py:51-64),
+        so paying them on every batch of every epoch would dominate host time."""
+        cached = self._supervision_cache.get(index)
+        if cached is not None:
+            return cached
+        e = self.egs[index]
+        g = e.load_fst()
+        if self.trans_mdl is not None:
+            from .hmm import relabel_fst_to_pdfs
+
+            g = relabel_fst_to_pdfs(g, self.trans_mdl)
+        if self.normalization_fst is not None:
+            g = fst_compose_acceptor(g, self.normalization_fst)
+            if g.num_states == 0:
+                raise ValueError(
+                    f"supervision for {e.utt} is empty after composing with "
+                    "normalization.fst (label mismatch?)")
+        # the dense forward-backward treats every arc as emitting: strip
+        # epsilon arcs (prep numerators and normalization both add them)
+        arrays = fst_to_arrays(fst_rmepsilon(g))
+        self._supervision_cache[index] = arrays
+        return arrays
 
     def load_batch(self, indices: List[int]):
         """-> (wav [B, T], num_graphs dict, num_frames [B], utts)."""
@@ -145,21 +173,7 @@ class EgsDataset:
                                       self.noise_db, self.rir_db, rng=self.rng)[0][:T]
             wavs[j, : len(x)] = x
             frames.append(self.output_frames(e.num_samples))
-            g = e.load_fst()
-            if self.trans_mdl is not None:
-                from .hmm import relabel_fst_to_pdfs
-
-                g = relabel_fst_to_pdfs(g, self.trans_mdl)
-            if self.normalization_fst is not None:
-                g = fst_compose_acceptor(g, self.normalization_fst)
-                if g.num_states == 0:
-                    raise ValueError(
-                        f"supervision for {e.utt} is empty after composing with "
-                        "normalization.fst (label mismatch?)")
-            # the dense forward-backward treats every arc as emitting: strip
-            # epsilon arcs (prep numerators and normalization both add them)
-            g = fst_rmepsilon(g)
-            graphs.append(fst_to_arrays(g))
+            graphs.append(self.supervision_arrays(indices[j]))
         return (wavs, pad_graph_arrays(graphs),
                 np.asarray(frames, np.int32), [e.utt for e in egs])
 
