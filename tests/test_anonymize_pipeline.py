@@ -4,6 +4,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny_anon_checkpoint(tmp_path):
     import jax

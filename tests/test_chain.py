@@ -6,6 +6,8 @@ import itertools
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def brute_force_logprob(fst, loglikes):
     """Enumerate all T-length paths through the FST (tiny graphs only)."""

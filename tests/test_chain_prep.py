@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _make_asr_data_dir(tmp_path, n_utts=6):
     from satpu.utils import kaldi_data

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _make_asv_dir(tmp_path, n_spk=3, utts_per_spk=3, T=16000 * 4):
     from satpu.utils import kaldi_data

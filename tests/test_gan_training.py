@@ -3,6 +3,8 @@ and data-parallel sharding over an 8-device CPU mesh."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import conftest as helpers
 
 

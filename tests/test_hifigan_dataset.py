@@ -7,6 +7,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import conftest as helpers
 
 

@@ -3,6 +3,8 @@ with identical (converted) weights."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import conftest as helpers
 
 

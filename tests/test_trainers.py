@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_chain_train_step_improves_objf(tmp_path):
     import jax

@@ -4,6 +4,8 @@ style configs (tiny dimensions)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _hf_model(stable_layer_norm):
     import torch

@@ -7,6 +7,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _ref_yaapt():
     if "ref_yaapt" in sys.modules:

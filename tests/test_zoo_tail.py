@@ -4,6 +4,8 @@ SpeakerCMVN, MfccFrontEnd, m2o anonymizer, speaker-adversarial chain net
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_circle_proto(rng):
     import jax
