@@ -75,10 +75,20 @@ def _update_subspace(X: jnp.ndarray, state: NGState) -> NGState:
     N, D = X.shape
     R = W.shape[0]
     eta = jnp.clip(N / state.num_samples_history, 1e-3, 0.9)
-    # stacked matrix whose gram equals (1-eta) W^T diag(d) W + eta X^T X / N
+    # cap the rows entering the eigendecomposition: the gram is (R+N)^2 and
+    # chain minibatches have N = B*T_out thousands of rows, which made the
+    # per-layer eigh astronomically expensive to compile/run on TPU; a
+    # strided subsample estimates the same covariance (scaled by its own row
+    # count) at 4R rows
+    max_rows = 4 * R
+    if N > max_rows:
+        stride = N // max_rows
+        X = X[::stride][:max_rows]
+    n_eff = X.shape[0]
+    # stacked matrix whose gram equals (1-eta) W^T diag(d) W + eta X^T X / n
     top = jnp.sqrt((1.0 - eta)) * (jnp.sqrt(d)[:, None] * W)
-    bottom = jnp.sqrt(eta / N) * X
-    Y = jnp.concatenate([top, bottom], axis=0)  # [R+N, D]
+    bottom = jnp.sqrt(eta / n_eff) * X
+    Y = jnp.concatenate([top, bottom], axis=0)  # [R+n, D]
     # top-R right singular vectors via the (R+N)x(R+N) gram (cheap when N+R << D)
     G = Y @ Y.T
     evals, evecs = jnp.linalg.eigh(G)
@@ -89,7 +99,7 @@ def _update_subspace(X: jnp.ndarray, state: NGState) -> NGState:
     # add the residual (1-eta) * rho outside the old subspace (approximate:
     # fold into the new eigenvalues + remainder)
     d_new = lam + (1.0 - eta) * rho
-    tr_T = (1.0 - eta) * (jnp.sum(d) + rho * (D - R)) + eta * jnp.sum(X * X) / N
+    tr_T = (1.0 - eta) * (jnp.sum(d) + rho * (D - R)) + eta * jnp.sum(X * X) / n_eff
     rho_new = jnp.maximum((tr_T - jnp.sum(d_new)) / jnp.maximum(D - R, 1), 1e-10)
     return state._replace(W=W_new, d=d_new, rho=rho_new)
 
