@@ -68,6 +68,10 @@ class WNConv1d(nn.Module):
             kernel = kernel.astype(self.dtype)
         elif x.dtype != kernel.dtype:
             x = x.astype(kernel.dtype)
+        # note: an explicit im2row dot_general for the small-channel tail
+        # stages was measured 5% SLOWER end-to-end than XLA's loop-fusion
+        # lowering (the [B, T, k*C] materialization costs more HBM traffic
+        # than the MXU gains back); keep the plain conv form
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
