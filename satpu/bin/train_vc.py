@@ -65,6 +65,10 @@ def main(argv=None):
 
     import jax
 
+    from ..parallel import multihost
+
+    nproc = multihost.init_distributed()
+
     from .. import infer_helper
     from ..hifigan.dataset import HifiGanDataset
     from ..hifigan.trainer import (GanHparams, init_gan_state, make_gan_eval_step,
@@ -152,6 +156,19 @@ def main(argv=None):
     step_fn = jax.jit(make_gan_train_step(model, mpd, msd, h))
     eval_fn = jax.jit(make_gan_eval_step(model, h))
 
+    # multi-host DP: each host feeds minibatch_size/nproc utterances; the
+    # jitted step consumes the globally-assembled batch over the full mesh
+    local_bs = (multihost.host_local_batch_size(opts.minibatch_size, nproc)
+                if nproc > 1 else opts.minibatch_size)
+    mesh = None
+    if nproc > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()))
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec())), state)
+
     dev_ds = None
     if opts.dev_set:
         dev_ds = HifiGanDataset(opts.dev_set, speakers=speakers, bn_fn=bn_fn,
@@ -198,8 +215,12 @@ def main(argv=None):
 
     for epoch in range(start_epoch, opts.training_epochs):
         with profile_steps(opts.dirname):
-            for batch in ds.batches(opts.minibatch_size, epoch=epoch):
+            for batch in ds.batches(local_bs, epoch=epoch,
+                                    process_index=jax.process_index(),
+                                    process_count=nproc):
                 t0 = time.time()
+                if mesh is not None:
+                    batch = multihost.global_batch_from_host_local(mesh, batch)
                 state, metrics = step_fn(state, batch)
                 steps += 1
                 if steps % 50 == 0:

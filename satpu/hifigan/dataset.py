@@ -187,10 +187,16 @@ class HifiGanDataset:
             [audio, bn, f0], self.segment_size, rng=self.rng)
         return audio_s, bn_s, f0_s, spk
 
-    def batches(self, batch_size: int, shuffle: bool = True, epoch: int = 0):
+    def batches(self, batch_size: int, shuffle: bool = True, epoch: int = 0,
+                process_index: int = 0, process_count: int = 1):
+        """``process_index/count``: multi-host data parallelism — every host
+        shuffles identically and takes an interleaved slice (the
+        DistributedSampler pattern, hifigan/model.py:316)."""
         order = list(range(len(self)))
         if shuffle:
             random.Random(1234 + epoch).shuffle(order)
+        if process_count > 1:
+            order = order[process_index::process_count]
         # keep the tail: wrap around so every utterance is seen each epoch
         # while batches stay exactly batch_size (static shapes)
         if len(order) % batch_size and len(order) >= batch_size:

@@ -8,3 +8,4 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from . import multihost  # noqa: F401

@@ -85,3 +85,26 @@ def conftest_cpu_devices():
     import conftest
 
     return conftest.cpu_devices()
+
+
+def test_multihost_helpers_single_process():
+    """multi-host utilities degenerate correctly in single-process runs and
+    the assembled global batch drives a sharded step (SURVEY.md §5.8)."""
+    import jax
+    import numpy as np
+
+    from satpu.parallel import make_mesh
+    from satpu.parallel.multihost import (global_batch_from_host_local,
+                                          host_local_batch_size,
+                                          host_shard_list, init_distributed)
+
+    assert init_distributed() == 1  # no coordinator configured: no-op
+    assert host_shard_list([1, 2, 3]) == [1, 2, 3]
+    assert host_shard_list(list(range(10)), process_index=1, process_count=4) == [1, 5, 9]
+    assert host_local_batch_size(16, process_count=4) == 4
+    mesh = make_mesh(n_data=8, devices=jax.devices("cpu")[:8])
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+    g = global_batch_from_host_local(mesh, batch)
+    assert g["x"].shape == (16, 1)
+    total = jax.jit(lambda b: b["x"].sum())(g)
+    np.testing.assert_allclose(float(total), np.arange(16).sum())
