@@ -95,6 +95,7 @@ def main(argv=None):
 
     out_dir = process_data(
         model, variables, speakers, opts.directory, results_dir,
+        f0_speaker_stats=meta.get("f0_speaker_stats"),
         target_selection_algorithm=opts.target_selection_algorithm,
         target_constant_spkid=opts.target_constant_spkid,
         batch_size=opts.batch_size, f0_transformation=opts.f0_transformation,

@@ -80,6 +80,7 @@ def bucket_for(length: int, buckets: Sequence[int]) -> int:
 
 
 def process_data(model, variables, speakers: List[str], data_dir: str, results_dir: str,
+                 f0_speaker_stats: Optional[Dict] = None,
                  target_selection_algorithm: str = "constant",
                  target_constant_spkid: str = "", batch_size: int = 8,
                  buckets: Sequence[int] = DEFAULT_BUCKETS, f0_transformation: str = "",
@@ -123,9 +124,25 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
         entries.append((utt, wav[0], rate))
     entries.sort(key=lambda e: len(e[1]))
 
+    # speaker-normalized F0 (hifigan_clean flow): the checkpoint carries
+    # per-speaker stats and the model skips in-graph normalization
+    f0_cmvn = None
+    if f0_speaker_stats and getattr(model.cfg, "f0_norm", "utt") == "none":
+        from ..ops.cmvn import SpeakerCMVN
+
+        f0_cmvn = SpeakerCMVN.from_meta(f0_speaker_stats)
+        f0_cmvn.pass_through = True
+
+    f0_only = jax.jit(model.get_f0)
+
     @jax.jit
     def convert(wav_batch, target_ids, f0_key):
         f0 = model.get_f0(wav_batch)
+        return model.apply(variables, wav_batch, f0, target_ids,
+                           method=model.convert, f0_key=f0_key)
+
+    @jax.jit
+    def convert_with_f0(wav_batch, f0, target_ids, f0_key):
         return model.apply(variables, wav_batch, f0, target_ids,
                            method=model.convert, f0_key=f0_key)
 
@@ -168,7 +185,13 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
         tids = np.zeros((batch_size,), np.int32)
         tids[: len(batch)] = tids_list
         key, sub = jax.random.split(key)
-        out = np.asarray(convert(wav_batch, tids, sub))[: len(batch)]
+        if f0_cmvn is not None:
+            f0 = np.asarray(f0_only(wav_batch))
+            for j, ut in enumerate(utids):
+                f0[j] = f0_cmvn(f0[j], source_utt2spk.get(ut, ut))
+            out = np.asarray(convert_with_f0(wav_batch, f0, tids, sub))[: len(batch)]
+        else:
+            out = np.asarray(convert(wav_batch, tids, sub))[: len(batch)]
         pending.append(writer.submit(write_batch, utids, out, lens, rate))
         done += len(batch)
         if progress_cb:

@@ -43,6 +43,7 @@ class TrainVcOpts(cfg.Opts):
     fake_epoch: bool = False
     num_speakers: int = 0  # 0 = infer from utt2spk
     f0_transformation: str = ""
+    f0_norm: str = "utt"  # utt | speaker (hifigan_clean's SpeakerCMVN)
     # generator architecture (reference tuning/hifigan.py knobs); comma lists
     upsample_rates: str = "5,4,4,2,2"
     upsample_kernel_sizes: str = "11,8,8,4,4"
@@ -117,6 +118,7 @@ def main(argv=None):
     anon_cfg = AnonymizerConfig(
         asrbn=asrbn_cfg, num_speakers=num_speakers,
         f0_transformation=opts.f0_transformation,
+        f0_norm="none" if opts.f0_norm == "speaker" else opts.f0_norm,
         upsample_rates=tuple(int(x) for x in opts.upsample_rates.split(",")),
         upsample_kernel_sizes=tuple(int(x) for x in opts.upsample_kernel_sizes.split(",")),
         upsample_initial_channel=opts.upsample_initial_channel,
@@ -133,7 +135,19 @@ def main(argv=None):
 
     ds = HifiGanDataset(opts.train_set, speakers=speakers, bn_fn=bn_fn, f0_fn=f0_fn,
                         segment_size=opts.segment_size)
-    if opts.fake_epoch:
+    f0_cmvn = None
+    if opts.f0_norm == "speaker":
+        # per-speaker F0 statistics over the (cache-filling) stats pass, then
+        # host-side normalization in the dataset (hifigan_clean.py:37)
+        from ..ops.cmvn import SpeakerCMVN
+
+        f0_cmvn = SpeakerCMVN(keep_zeros=True)
+        logging.info("f0_norm=speaker: accumulating per-speaker F0 stats")
+        for i in range(len(ds)):
+            _, _, f0_i, _ = ds.features(i)
+            f0_cmvn.accumulate(f0_i, ds.utts[i].spk)
+        ds.f0_norm_fn = lambda f0, spk: f0_cmvn(f0, spk)
+    if opts.fake_epoch and f0_cmvn is None:
         logging.info("fake_epoch: warming feature caches over %d utts", len(ds))
         ds.fake_epoch(progress_cb=lambda d, t: d % 100 == 0 and logging.info("%d/%d", d, t))
 
@@ -172,7 +186,11 @@ def main(argv=None):
     dev_ds = None
     if opts.dev_set:
         dev_ds = HifiGanDataset(opts.dev_set, speakers=speakers, bn_fn=bn_fn,
-                                f0_fn=f0_fn, segment_size=opts.segment_size)
+                                f0_fn=f0_fn, segment_size=opts.segment_size,
+                                f0_norm_fn=(lambda f0, spk: f0_cmvn(f0, spk))
+                                if f0_cmvn is not None else None)
+        if f0_cmvn is not None:
+            f0_cmvn.pass_through = True  # unseen dev speakers pass through
 
     # resume: restore the full g_/d_/trainer_ triplet (reference
     # vc train.py:117-125, hifigan/model.py:266-281)
@@ -204,7 +222,8 @@ def main(argv=None):
                 metrics_log.write(steps, "val_mel_error", val_err, epoch=epoch)
                 logging.info("validation mel error: %.4f (best %.4f)", val_err,
                              best_val)
-        _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val)
+        _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val,
+              f0_cmvn)
         if val_err is not None and val_err < best_val:
             best_val = val_err
             best = os.path.join(opts.dirname, "g_best.ckpt")
@@ -238,16 +257,21 @@ def main(argv=None):
     return 0
 
 
-def _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val):
+def _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val,
+          f0_cmvn=None):
     from ..hifigan.trainer import merge_generator_params
     from .. import infer_helper
 
     g_path = os.path.join(opts.dirname, f"g_{steps}.ckpt")
     variables = merge_generator_params(state.params_g, state.frozen_g)
+    extra = {"speakers": speakers, "epoch": epoch, "steps": steps}
+    if f0_cmvn is not None:
+        extra["f0_speaker_stats"] = f0_cmvn.to_meta()
     infer_helper.save_model(
         g_path, "anonymizer_tdnnf_hifigan",
-        {"asrbn": dataclasses.asdict(anon_cfg.asrbn), "num_speakers": anon_cfg.num_speakers},
-        variables, extra_meta={"speakers": speakers, "epoch": epoch, "steps": steps})
+        {"asrbn": dataclasses.asdict(anon_cfg.asrbn),
+         "num_speakers": anon_cfg.num_speakers, "f0_norm": anon_cfg.f0_norm},
+        variables, extra_meta=extra)
     ckpt.save_checkpoint(os.path.join(opts.dirname, f"d_{steps}.ckpt"),
                          {"epoch": epoch, "steps": steps},
                          {"mpd": state.params_mpd, "msd": state.params_msd,

@@ -101,7 +101,12 @@ class HifiGanDataset:
     def __init__(self, data_dir: str, speakers: Optional[List[str]] = None,
                  bn_fn: Optional[Callable] = None, f0_fn: Optional[Callable] = None,
                  cache_dir: Optional[str] = None, segment_size: int = 16640,
-                 min_len: int = 17000, seed: int = 0, worker_name: str = "w0"):
+                 min_len: int = 17000, seed: int = 0, worker_name: str = "w0",
+                 f0_norm_fn: Optional[Callable] = None):
+        # f0_norm_fn(f0, speaker) -> f0: host-side per-speaker normalization
+        # (the SpeakerCMVN flow, tuning/hifigan_clean.py:37); None = the model
+        # normalizes per utterance in-graph
+        self.f0_norm_fn = f0_norm_fn
         self.segment_size = segment_size
         self.rng = random.Random(seed)
         utt2wav = kaldi_data.read_wav_scp(os.path.join(data_dir, "wav.scp"))
@@ -154,8 +159,11 @@ class HifiGanDataset:
         wav, rate = kaldi_data.load_wav_from_scp(u.wavspec)
         audio = normalize_audio(wav[0])
         bn = self.bn_cache.get_or_compute(u.utt, lambda: self._compute_bn(audio))
-        f0 = self.f0_cache.get_or_compute(u.utt, lambda: self._compute_f0(audio))
-        return audio, np.asarray(bn), np.asarray(f0).reshape(-1), self.spk_index[u.spk]
+        f0 = np.asarray(self.f0_cache.get_or_compute(
+            u.utt, lambda: self._compute_f0(audio))).reshape(-1)
+        if self.f0_norm_fn is not None:
+            f0 = np.asarray(self.f0_norm_fn(f0, u.spk)).reshape(-1)
+        return audio, np.asarray(bn), f0, self.spk_index[u.spk]
 
     def _compute_bn(self, audio: np.ndarray):
         """Extract BN on a bucket-padded copy (one compile per bucket) and

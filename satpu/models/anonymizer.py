@@ -53,6 +53,10 @@ class AnonymizerConfig:
     # (reference tuning/hifigan_m2o.py)
     num_speakers: int = 247  # libritts-train-clean-100 speaker count
     f0_transformation: str = ""
+    # "utt" = UttCMVN(keep_zeros) inside the graph (tuning/hifigan.py:37);
+    # "none" = caller pre-normalizes (the SpeakerCMVN flow of
+    # tuning/hifigan_clean.py:37, stats ride the checkpoint metadata)
+    f0_norm: str = "utt"
     upsample_rates: Tuple[int, ...] = (5, 4, 4, 2, 2)
     upsample_kernel_sizes: Tuple[int, ...] = (11, 8, 8, 4, 4)
     upsample_initial_channel: int = 512
@@ -105,7 +109,9 @@ class AnonymizationNet(nn.Module):
 
         Mirrors tuning/hifigan.py:83-102 (_forward).
         """
-        f0 = utt_cmvn_keep_zeros(f0, var_norm=True)
+        f0 = jnp.asarray(f0)  # f0_norm="none" may hand a raw host array over
+        if self.cfg.f0_norm == "utt":
+            f0 = utt_cmvn_keep_zeros(f0, var_norm=True)
         f0 = f0[:, None, :]  # [B, 1, T]
         if self.cfg.f0_transformation:
             f0 = apply_f0_transformation(f0, self.cfg.f0_transformation, key=f0_key)

@@ -127,3 +127,47 @@ def test_pipeline_sharded_merge(tmp_path):
             new_datadir_suffix="_anon_sh")
     scp = kaldi_data.read_wav_scp(os.path.join(out_dir, "wav.scp"))
     assert len(scp) == 5  # merged across both shards
+
+
+def test_pipeline_speaker_f0_norm(tmp_path):
+    """hifigan_clean flow: checkpoint-carried per-speaker F0 stats normalize
+    host-side when the model skips in-graph normalization."""
+    import jax
+
+    from satpu import infer_helper
+    from satpu.bin.pipeline import process_data
+    from satpu.models.anonymizer import AnonymizationNet, AnonymizerConfig
+    from satpu.models.asrbn import TDNNFNetConfig
+    from satpu.ops.cmvn import SpeakerCMVN
+    from satpu.utils import kaldi_data
+
+    asrbn = dict(output_dim=16, hidden_dim=16, bottleneck_dim=8,
+                 prefinal_bottleneck_dim=8)
+    cfg = AnonymizerConfig(asrbn=TDNNFNetConfig(**asrbn), num_speakers=3,
+                           bn_dim=8, f0_norm="none")
+    model = AnonymizationNet(cfg)
+    wav = np.zeros((1, 16000), np.float32)
+    f0 = np.zeros((1, 50), np.float32)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), wav, f0, np.zeros((1,), np.int32),
+        method=model.convert))()
+    cm = SpeakerCMVN(keep_zeros=True)
+    cm.accumulate(np.abs(np.random.default_rng(0).standard_normal(100)) * 100 + 50,
+                  "src0")
+    ckpt = str(tmp_path / "anon_spk.ckpt")
+    infer_helper.save_model(ckpt, "anonymizer_tdnnf_hifigan",
+                            {"asrbn": asrbn, "num_speakers": 3, "bn_dim": 8,
+                             "f0_norm": "none"}, variables,
+                            extra_meta={"speakers": ["spkA", "spkB", "spkC"],
+                                        "f0_speaker_stats": cm.to_meta()})
+    data_dir = _make_data_dir(tmp_path)
+    model2, v2, meta = infer_helper.load_model(ckpt)
+    assert model2.cfg.f0_norm == "none"
+    out_dir = process_data(model2, v2, meta["speakers"], data_dir,
+                           str(tmp_path / "wavs_f0"),
+                           f0_speaker_stats=meta["f0_speaker_stats"],
+                           target_selection_algorithm="random_per_utt",
+                           batch_size=2, buckets=(8000, 16000, 24000),
+                           new_datadir_suffix="_anon_f0")
+    scp = kaldi_data.read_wav_scp(os.path.join(out_dir, "wav.scp"))
+    assert len(scp) == 5
