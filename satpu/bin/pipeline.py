@@ -186,7 +186,7 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
         tids[: len(batch)] = tids_list
         key, sub = jax.random.split(key)
         if f0_cmvn is not None:
-            f0 = np.asarray(f0_only(wav_batch))
+            f0 = np.array(f0_only(wav_batch))  # writable copy
             for j, ut in enumerate(utids):
                 f0[j] = f0_cmvn(f0[j], source_utt2spk.get(ut, ut))
             out = np.asarray(convert_with_f0(wav_batch, f0, tids, sub))[: len(batch)]
