@@ -98,13 +98,44 @@ def evaluate_asr(opts) -> dict:
     entries.sort(key=lambda e: len(e[1]))
 
     hyps = {}
-    ctm_lines = []
+    ctm = {}
     ll_writer = None
     if opts.dump_loglikes:
         from ..utils.scp_io import FileWriter
 
         ll_writer = FileWriter(opts.dump_loglikes,
                                os.path.splitext(opts.dump_loglikes)[0] + ".scp")
+
+    def decode_one(utt, ll):
+        """Host-side lattice decode + rescore for one utterance; runs in a
+        thread pool overlapped with the next batch's device compute (the
+        native decoder releases the GIL)."""
+        if use_native:
+            lat = native.decode_lattice(
+                ng, ll, acoustic_scale=opts.acoustic_scale, beam=opts.beam,
+                lattice_beam=opts.lattice_beam, max_active=opts.max_active)
+            if new_lm is not None:
+                hs = rescore_nbest(nbest(lat, opts.nbest), word_table,
+                                   new_lm, old_lm=old_lm, lm_scale=opts.lm_scale)
+                hyp = hs[0] if hs else None
+            else:
+                hyp = best_path(lat)
+                if hyp is not None:
+                    hyp["text"] = " ".join(
+                        word_table.get(w_, str(w_)) for w_ in hyp["words"])
+            hyps[utt] = hyp["text"] if hyp else ""
+            if opts.write_ctm and hyp:
+                ctm[utt] = to_ctm(hyp, word_table, utt=utt)
+        else:
+            res = best_path_decode(ll, graph,
+                                   acoustic_scale=opts.acoustic_scale,
+                                   word_table=words)
+            hyps[utt] = res.text
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=os.cpu_count() or 4)
+    futures = []
     B = opts.batch_size
     for i in range(0, len(entries), B):
         batch = entries[i : i + B]
@@ -117,36 +148,19 @@ def evaluate_asr(opts) -> dict:
             lens[j] = len(w)
         ll_b = np.asarray(loglikes(wav_b, lens))
         for j, (utt, w) in enumerate(batch):
-            ll = ll_b[j, : output_num_frames(len(w))]
+            ll = ll_b[j, : output_num_frames(len(w))].copy()
             if ll_writer is not None:
                 ll_writer.write(utt, np.asarray(ll, np.float32))
-            if use_native:
-                lat = native.decode_lattice(
-                    ng, ll, acoustic_scale=opts.acoustic_scale, beam=opts.beam,
-                    lattice_beam=opts.lattice_beam, max_active=opts.max_active)
-                if new_lm is not None:
-                    hs = rescore_nbest(nbest(lat, opts.nbest), word_table,
-                                       new_lm, old_lm=old_lm,
-                                       lm_scale=opts.lm_scale)
-                    hyp = hs[0] if hs else None
-                else:
-                    hyp = best_path(lat)
-                    if hyp is not None:
-                        hyp["text"] = " ".join(
-                            word_table.get(w_, str(w_)) for w_ in hyp["words"])
-                hyps[utt] = hyp["text"] if hyp else ""
-                if opts.write_ctm and hyp:
-                    ctm_lines.extend(to_ctm(hyp, word_table, utt=utt))
-            else:
-                res = best_path_decode(ll, graph,
-                                       acoustic_scale=opts.acoustic_scale,
-                                       word_table=words)
-                hyps[utt] = res.text
+            futures.append(pool.submit(decode_one, utt, ll))
+    for f in futures:
+        f.result()
+    pool.shutdown()
     if ll_writer is not None:
         ll_writer.close()
-    if ctm_lines:
+    if ctm:
         with open(os.path.join(opts.results, "hyp.ctm"), "w") as f:
-            f.write("\n".join(ctm_lines) + "\n")
+            for utt in sorted(ctm):
+                f.write("\n".join(ctm[utt]) + "\n")
     wer = corpus_wer(refs, hyps)
     logging.info("ASR %s", wer)
     return {"wer": wer.wer * 100, "errors": wer.errors, "words": wer.words}
