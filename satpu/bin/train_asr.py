@@ -169,7 +169,7 @@ def main(argv=None):
     topts = ChainTrainOpts(lr=opts.lr_initial, xent_regularize=opts.xent_regularize,
                            l2_regularize=opts.l2_regularize,
                            leaky_hmm_coefficient=opts.leaky_hmm_coefficient)
-    optimizer = make_chain_optimizer(topts)
+    optimizer = make_chain_optimizer(topts, grad_acc_steps=opts.grad_acc_steps)
     state = init_chain_state(model, jax.random.PRNGKey(0),
                              np.zeros((2, 32000), np.float32), optimizer)
     sampler = BucketBatchSampler(ds, opts.minibatch_size)

@@ -49,12 +49,17 @@ class ChainTrainState:
     ng_state: Any = flax.struct.field(default_factory=dict)
 
 
-def make_chain_optimizer(opts: ChainTrainOpts):
-    return optax.chain(
+def make_chain_optimizer(opts: ChainTrainOpts, grad_acc_steps: int = 1):
+    opt = optax.chain(
         optax.clip(opts.grad_clip_value),  # clip_grad_value_(5.0)
         optax.inject_hyperparams(optax.adamw)(learning_rate=opts.lr,
                                               weight_decay=opts.weight_decay),
     )
+    if grad_acc_steps > 1:
+        # gradient accumulation (reference chain/objf.py:375-378 steps the
+        # optimizer every grad_acc_steps minibatches)
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_acc_steps)
+    return opt
 
 
 def init_chain_state(model, rng, example_wav, optimizer) -> ChainTrainState:
@@ -129,11 +134,7 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
             loss_fn, argnums=(0, 1), has_aux=True)(state.params, state.ng_state)
         opt_state = state.opt_state
         if lr_schedule is not None:
-            # optax.chain state is a tuple; slot 1 is the InjectHyperparamsState
-            inject = opt_state[1]._replace(
-                hyperparams={**inject_hparams(opt_state),
-                             "learning_rate": lr_schedule(state.step)})
-            opt_state = (opt_state[0], inject)
+            opt_state = with_injected_lr(opt_state, lr_schedule(state.step))
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
         if preprocessor_schedule is not None:
             mult = preprocessor_schedule(state.step)
@@ -160,9 +161,34 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
     return train_step
 
 
+def with_injected_lr(opt_state, lr):
+    """Return ``opt_state`` with learning_rate replaced in the (possibly
+    MultiSteps-wrapped) InjectHyperparamsState, wherever it lives."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state._replace(
+            hyperparams={**opt_state.hyperparams, "learning_rate": lr})
+    if hasattr(opt_state, "inner_opt_state"):
+        return opt_state._replace(
+            inner_opt_state=with_injected_lr(opt_state.inner_opt_state, lr))
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        return tuple(with_injected_lr(s, lr) for s in opt_state)
+    return opt_state
+
+
 def inject_hparams(opt_state) -> Dict[str, Any]:
-    """The hyperparams dict of a make_chain_optimizer state."""
-    return opt_state[1].hyperparams
+    """The hyperparams dict of a make_chain_optimizer state (searches through
+    MultiSteps wrapping)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state.hyperparams
+    if hasattr(opt_state, "inner_opt_state"):
+        return inject_hparams(opt_state.inner_opt_state)
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        for s in opt_state:
+            try:
+                return inject_hparams(s)
+            except ValueError:
+                continue
+    raise ValueError("no InjectHyperparamsState found")
 
 
 def make_chain_valid_step(model, den: DenominatorGraph,

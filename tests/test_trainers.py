@@ -167,3 +167,47 @@ def test_chain_bucket_sampler(tmp_path):
     wavs, graphs, frames, utts = ds.load_batch([0, 2])
     assert wavs.shape[0] == 2 and graphs["arc_src"].shape[0] == 2
     assert frames.shape == (2,)
+
+
+def test_chain_grad_accumulation(rng):
+    """grad_acc_steps: params update only every k-th step (reference
+    chain/objf.py:375-378), lr injection works through the MultiSteps wrap."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from satpu.chain.fst import (Fst, fst_to_arrays, linear_fst_from_pdf_sequence,
+                                 pad_graph_arrays)
+    from satpu.chain.objf import DenominatorGraph
+    from satpu.chain.trainer import (ChainTrainOpts, init_chain_state,
+                                     make_chain_optimizer, make_chain_train_step)
+    from satpu.models.asrbn import TDNNFNet, TDNNFNetConfig
+
+    num_pdfs = 8
+    den = DenominatorGraph.from_fst(Fst.from_text(
+        "\n".join(f"0 0 {p + 1} {p + 1} 2.0" for p in range(num_pdfs)) + "\n0 0.0"),
+        num_pdfs=num_pdfs)
+    cfg = TDNNFNetConfig(output_dim=num_pdfs, hidden_dim=16, bottleneck_dim=8,
+                         prefinal_bottleneck_dim=8)
+    model = TDNNFNet(cfg)
+    topts = ChainTrainOpts(lr=0.01)
+    opt = make_chain_optimizer(topts, grad_acc_steps=2)
+    state = init_chain_state(model, jax.random.PRNGKey(0),
+                             np.zeros((2, 8000), np.float32), opt)
+    step = jax.jit(make_chain_train_step(model, den, opt, topts,
+                                         lr_schedule=lambda s: jnp.asarray(0.01)))
+    wav = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    graphs = pad_graph_arrays([
+        fst_to_arrays(linear_fst_from_pdf_sequence([1, 2])),
+        fst_to_arrays(linear_fst_from_pdf_sequence([3, 4]))])
+    graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
+    frames = jnp.asarray([16, 16], jnp.int32)
+    s1, _ = step(state, wav, graphs, frames, jax.random.PRNGKey(1))
+    moved1 = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a - b)).max(), s1.params, state.params)))
+    assert moved1 == 0.0, "params moved on the accumulation step"
+    s2, m = step(s1, wav, graphs, frames, jax.random.PRNGKey(2))
+    moved2 = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a - b)).max(), s2.params, s1.params)))
+    assert moved2 > 0.0, "params did not move on the k-th step"
+    assert np.isclose(float(m["lr"]), 0.01)
