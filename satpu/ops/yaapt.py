@@ -541,13 +541,13 @@ def time_track(filtered: jnp.ndarray, spec_pitch, pitch_std, energy, vuv,
     corr = jnp.fft.irfft(jnp.conj(Xm) * X, nfft_corr)  # corr[k]=sum_t xm[t]x[t+k]
     num = corr[:, ks_j]  # [F, K]
     n_idx = jnp.clip(Ns - 1, 0, data_len - 1)  # [F]
-    # sum_{t<N} x[t+k]^2 = cs_sq[k+N-1] - cs_sq[k-1]
-    hi_i = jnp.clip(ks_j[None, :] + Ns[:, None] - 1, 0, data_len - 1)  # [F, K]
-    upper = jnp.take_along_axis(cs_sq, hi_i, axis=1)
-    lo_i = jnp.clip(ks_j[None, :] - 1, 0, data_len - 1)
-    lower = jnp.where(ks_j[None, :] > 0, jnp.take_along_axis(
-        cs_sq, jnp.broadcast_to(lo_i, hi_i.shape), axis=1), 0.0)
-    sum_sq_shift = upper - lower
+    # sum_{t<N} x[t+k]^2: correlate the window mask with x^2 the same way
+    # (the previous dynamic-index take_along_axis gather was a slow TPU
+    # custom-call; corr[:, ks] below is a static gather)
+    Msk = jnp.fft.rfft((t_j[None, :] < Ns[:, None]).astype(x.dtype), nfft_corr)
+    corr_sq = jnp.fft.irfft(jnp.conj(Msk) * jnp.fft.rfft(sq, nfft_corr),
+                            nfft_corr)
+    sum_sq_shift = corr_sq[:, ks_j]  # [F, K]
     p_energy = jnp.take_along_axis(cs_sq, n_idx[:, None], axis=1)  # [F, 1]
     denom = sum_sq_shift * p_energy
     phi = num / jnp.sqrt(jnp.maximum(denom, 1e-30))  # [F, K] at lags ks
