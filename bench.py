@@ -7,9 +7,9 @@ default JAX device (one TPU chip under the driver).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Measurement notes (round-2 profile on a v5e chip, B=8 x 10 s):
-- stage split: YAAPT 0.8 ms, BN extract 8.8 ms, HiFi-GAN 82.5 ms per batch —
-  the generator convs are ~90% of the time, so the bf16 conv policy
+Measurement notes (round-2 device traces on a v5e chip):
+- after the YAAPT FFT-correlation NCCF + parallel Viterbi rewrites the split
+  at B=8 x 10 s is get_f0 ~27 ms + convert ~50 ms; the bf16 conv policy
   (compute_dtype="bfloat16", waveform rel err ~2e-3) is on by default;
 - F0 and convert stay TWO dispatches: fusing YAAPT's DP scans into the conv
   pipeline makes XLA schedule the whole graph ~3x slower;
@@ -50,7 +50,10 @@ def main():
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
     model = AnonymizationNet(cfg)
 
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    # throughput scales with batch (per-sample fixed costs amortize):
+    # measured 1005 a-s/s at B=8, 1310 at 32, 1596 at 64, 1842 at 128 on a
+    # v5e; 64 is the robust default (B=256 exceeded compiler limits)
+    B = int(os.environ.get("BENCH_BATCH", "64"))
     T = int(os.environ.get("BENCH_SAMPLES", "160000"))  # 10 s per utt
     sr = 16000
 
