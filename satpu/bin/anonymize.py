@@ -30,7 +30,7 @@ class AnonymizeOpts(cfg.Opts):
     target_selection_algorithm: str = "constant"
     target_constant_spkid: str = ""
     f0_transformation: str = ""
-    batch_size: int = 8
+    batch_size: int = 32  # throughput scales with batch on TPU
     new_datadir_suffix: str = "_anon"
     seed: int = 0
     num_shards: int = 1

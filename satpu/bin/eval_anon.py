@@ -32,7 +32,7 @@ class EvalOpts(cfg.Opts):
     decode_graph: str = ""  # HCLG-style fst
     words_txt: str = ""
     acoustic_scale: float = 1.0
-    batch_size: int = 8
+    batch_size: int = 32
     beam: float = 16.0
     lattice_beam: float = 8.0
     max_active: int = 7000

@@ -82,7 +82,7 @@ def bucket_for(length: int, buckets: Sequence[int]) -> int:
 def process_data(model, variables, speakers: List[str], data_dir: str, results_dir: str,
                  f0_speaker_stats: Optional[Dict] = None,
                  target_selection_algorithm: str = "constant",
-                 target_constant_spkid: str = "", batch_size: int = 8,
+                 target_constant_spkid: str = "", batch_size: int = 32,
                  buckets: Sequence[int] = DEFAULT_BUCKETS, f0_transformation: str = "",
                  seed: int = 0, new_datadir_suffix: str = "_anon",
                  num_shards: int = 1, shard: int = 0,
