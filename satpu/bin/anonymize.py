@@ -39,6 +39,8 @@ class AnonymizeOpts(cfg.Opts):
     # bin/anonymize:82-93): run num_procs shards as subprocesses with
     # fail-fast sibling termination
     num_procs: int = 1
+    # serving compute dtype override (bfloat16 measured ~1.5x on v5e)
+    compute_dtype: str = "bfloat16"
 
 
 def main(argv=None):
@@ -83,7 +85,10 @@ def main(argv=None):
     from .. import infer_helper
     from .pipeline import process_data
 
-    model, variables, meta = infer_helper.load_model(opts.checkpoint)
+    option_args = ({"compute_dtype": opts.compute_dtype}
+                   if opts.compute_dtype else None)
+    model, variables, meta = infer_helper.load_model(opts.checkpoint,
+                                                     option_args=option_args)
     speakers = meta.get("speakers") or [str(i) for i in range(model.cfg.num_speakers)]
 
     results_dir = opts.results_dir or os.path.join(

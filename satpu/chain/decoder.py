@@ -1,13 +1,11 @@
 """Decoding: acoustic loglikes -> words (reference satools/satools/chain/decoder.py
 + csrc/decoder.cc MappedLatticeFasterRecognizer).
 
-Round-1 implementation: a beam-pruned Viterbi best-path decoder over an
-HCLG-style FST (ilabels = pdf-id + 1, olabels = word ids) in numpy, mirroring
-``kaldi_decode``'s output surface (text, word ids, alignment). Lattice
-generation, determinization and ConstArpa LM rescoring
-(kaldi_lm_rescoring, decoder.cc:155-278) are the next native (C++) milestone;
-best-path decoding is sufficient for greedy WER scoring and the privacy/
-utility loop's utility proxy.
+A beam-pruned Viterbi best-path decoder over an HCLG-style FST (ilabels =
+pdf-id + 1, olabels = word ids) in numpy, mirroring ``kaldi_decode``'s output
+surface (text, word ids, alignment), plus thin wrappers with the reference's
+python API names (chain/decoder.py:9-122) over the native lattice stack
+(satpu.native.decode_lattice + satpu.chain.lattice).
 """
 from __future__ import annotations
 
@@ -167,3 +165,57 @@ def read_words_txt(path: str) -> Dict[int, str]:
             if len(parts) == 2:
                 table[int(parts[1])] = parts[0]
     return table
+
+
+# ---------------------------------------------------------------------------
+# Reference-named API over the native lattice stack (chain/decoder.py:9-122)
+# ---------------------------------------------------------------------------
+
+
+def kaldi_decode(loglikes, graph, word_table: Optional[Dict[int, str]] = None,
+                 acoustic_scale: float = 1.0, beam: float = 16.0,
+                 lattice_beam: float = 8.0, max_active: int = 7000) -> Dict:
+    """loglikes [T, P] + decode graph -> {text, words, alignment, lattice}
+    (reference kaldi_decode). Uses the native lattice decoder when available,
+    falling back to the python best-path decoder."""
+    from .. import native
+    from .lattice import best_path
+
+    word_table = word_table or {}
+    if native.available():
+        ng = graph if isinstance(graph, native.NativeGraph) else native.NativeGraph(graph)
+        lat = native.decode_lattice(ng, loglikes, acoustic_scale=acoustic_scale,
+                                    beam=beam, lattice_beam=lattice_beam,
+                                    max_active=max_active)
+        hyp = best_path(lat)
+        if hyp is None:
+            return {"text": "", "words": [], "alignment": [], "lattice": lat}
+        return {"text": " ".join(word_table.get(w, str(w)) for w in hyp["words"]),
+                "words": hyp["words"], "alignment": [], "lattice": lat,
+                "times": hyp["times"]}
+    res = best_path_decode(np.asarray(loglikes), graph,
+                           acoustic_scale=acoustic_scale,
+                           word_table=word_table or None)
+    return {"text": res.text, "words": res.words, "alignment": res.alignment,
+            "lattice": None}
+
+
+def kaldi_lm_rescoring(lattice, new_lm, word_table: Dict[int, str],
+                       old_lm=None, lm_scale: float = 1.0, n: int = 100) -> Dict:
+    """Big-LM rescoring of a decoded lattice (reference kaldi_lm_rescoring,
+    chain/decoder.py:61-93: G removal + ConstArpa): returns the best rescored
+    hypothesis dict (with 'text')."""
+    from .lattice import nbest, rescore_nbest
+
+    hyps = rescore_nbest(nbest(lattice, n), word_table, new_lm, old_lm=old_lm,
+                         lm_scale=lm_scale)
+    return hyps[0] if hyps else {"text": "", "words": []}
+
+
+def kaldi_get_align(hyp: Dict, word_table: Dict[int, str], utt: str = "utt",
+                    frame_shift: float = 0.03) -> List[str]:
+    """Word-aligned CTM lines for a decoded hypothesis (reference
+    kaldi_get_align, chain/decoder.py:96-122)."""
+    from .lattice import to_ctm
+
+    return to_ctm(hyp, word_table, utt=utt, frame_shift=frame_shift)

@@ -126,3 +126,22 @@ def test_ctm_output():
     bp = best_path(lat)
     lines = to_ctm(bp, {1: "hello", 2: "world"}, utt="u1", frame_shift=0.03)
     assert lines == ["u1 1 0.00 0.06 hello", "u1 1 0.06 0.06 world"]
+
+
+def test_kaldi_named_api():
+    """The reference-named decode API wrappers (chain/decoder.py:9-122)."""
+    import numpy as np
+
+    from satpu.chain.decoder import kaldi_decode, kaldi_get_align, kaldi_lm_rescoring
+
+    g = _two_word_graph()
+    ll = np.full((2, 4), -5.0, np.float32)
+    ll[0, 0] = 0.0
+    ll[1, 1] = 0.0
+    table = {1: "hello", 2: "world"}
+    out = kaldi_decode(ll, g, word_table=table, lattice_beam=20.0)
+    assert out["text"] == "hello"
+    assert out["lattice"] is not None
+    ctm = kaldi_get_align({"words": out["words"], "times": out.get("times", [0]),
+                           "end_frame": 2}, table, utt="u1")
+    assert ctm and ctm[0].startswith("u1 ")
