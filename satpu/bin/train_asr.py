@@ -69,6 +69,9 @@ class TrainAsrOpts(cfg.Opts):
     diagnostics_interval: int = 50
     final_combination_n: int = 5
     train_stage: str = "0"
+    # warm start: checkpoint whose shape-matching params seed the new model
+    # (reference chain/model.py:129-154 via match_state_dict)
+    init_weight_model: str = ""
 
 
 def main(argv=None):
@@ -172,6 +175,15 @@ def main(argv=None):
     optimizer = make_chain_optimizer(topts, grad_acc_steps=opts.grad_acc_steps)
     state = init_chain_state(model, jax.random.PRNGKey(0),
                              np.zeros((2, 32000), np.float32), optimizer)
+    if opts.init_weight_model:
+        # shape-aware partial transfer (chain/model.py:132-148)
+        _, wstate = ckpt.load_checkpoint(opts.init_weight_model)
+        loaded = wstate.get("variables", wstate).get("params", {})
+        merged, matched, unmatched = ckpt.match_params(state.params, loaded)
+        state = state.replace(params=merged)
+        logging.info("init_weight_model %s: %d params transferred, %d skipped%s",
+                     opts.init_weight_model, len(matched), len(unmatched),
+                     f" ({', '.join(unmatched[:5])}...)" if unmatched else "")
     sampler = BucketBatchSampler(ds, opts.minibatch_size)
     steps_per_epoch = max(len(sampler), 1)
     total_steps = steps_per_epoch * opts.num_epochs

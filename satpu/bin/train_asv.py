@@ -37,6 +37,9 @@ class TrainAsvOpts(cfg.Opts):
     epochs: int = 100
     patience: int = 10
     fine_tune: bool = False  # raises ArcMargin m to 0.4, disables specaug
+    # warm start (fine-tune seed): shape-matching params transferred from this
+    # checkpoint (reference sidekit/model.py:152-156 via match_state_dict)
+    init_weight_model: str = ""
     seed: int = 1234
 
 
@@ -79,12 +82,49 @@ def main(argv=None):
     arc_m = 0.4 if opts.fine_tune else None
     step = jax.jit(make_asv_train_step(model, optimizer, arc_m=arc_m))
 
+    if opts.init_weight_model:
+        import jax.numpy as jnp
+
+        _, wstate = ckpt.load_checkpoint(opts.init_weight_model)
+        loaded = wstate.get("variables", wstate)
+        merged, matched, unmatched = ckpt.match_params(
+            state.params, loaded.get("params", {}))
+        bs = loaded.get("batch_stats")
+        state = dataclasses.replace(
+            state, params=merged,
+            batch_stats=ckpt.match_params(state.batch_stats, bs)[0]
+            if bs else state.batch_stats)
+        logging.info("init_weight_model %s: %d params transferred, %d skipped",
+                     opts.init_weight_model, len(matched), len(unmatched))
+
     monitor = TrainingMonitor(patience=opts.patience)
+
+    # ---- resume (sidekit/model.py:267-303: {epoch}.pt + trainer_{epoch}.pt) ----
+    start_epoch = 0
+    last_trainer = ckpt.latest_checkpoint(opts.dirname, "trainer_")
+    if last_trainer:
+        import jax.numpy as jnp
+
+        meta, tstate = ckpt.load_checkpoint(last_trainer)
+        start_epoch = meta.get("epoch", -1) + 1
+        monitor.load_state_dict(meta["monitor"])
+        mmeta, mstate = ckpt.load_checkpoint(
+            os.path.join(opts.dirname, f"{meta['epoch']}.ckpt"))
+        variables = mstate.get("variables", mstate)
+        state = dataclasses.replace(
+            state,
+            step=jnp.asarray(meta.get("step", 0), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+            opt_state=ckpt.restore_like(state.opt_state, tstate["opt_state"]))
+        logging.info("resuming from %s (epoch %d, best EER %.2f%% @ %d)",
+                     last_trainer, start_epoch, monitor.best_eer * 100,
+                     monitor.best_epoch)
     sampler = SideSampler(side.chunk_speakers, len(speakers),
                           opts.examples_per_speaker, opts.samples_per_speaker,
                           opts.minibatch_size, seed=opts.seed)
     epoch_key = jax.random.PRNGKey(opts.seed + 1)
-    for epoch in range(opts.epochs):
+    for epoch in range(start_epoch, opts.epochs):
         sampler.set_epoch(epoch)
         losses = []
         step_key = jax.random.fold_in(epoch_key, epoch)
@@ -112,6 +152,11 @@ def main(argv=None):
                                 dataclasses.asdict(xcfg) | {},
                                 {"params": state.params, "batch_stats": state.batch_stats},
                                 extra_meta={"speakers": speakers, "epoch": epoch})
+        ckpt.save_checkpoint(
+            os.path.join(opts.dirname, f"trainer_{epoch}.ckpt"),
+            {"epoch": epoch, "step": int(state.step),
+             "monitor": monitor.state_dict()},
+            {"opt_state": state.opt_state})
         if is_best:
             best = os.path.join(opts.dirname, "best.ckpt")
             if os.path.islink(best) or os.path.exists(best):
@@ -119,6 +164,7 @@ def main(argv=None):
             os.symlink(os.path.basename(path), best)
         ckpt.checkpoint_gc(opts.dirname, "", keep_last=10,
                            protected=[os.path.join(opts.dirname, "best.ckpt")])
+        ckpt.checkpoint_gc(opts.dirname, "trainer_", keep_last=2)
         if monitor.should_stop:
             logging.info("early stop at epoch %d (best %.2f%% @ %d)", epoch,
                          monitor.best_eer * 100, monitor.best_epoch)

@@ -75,6 +75,44 @@ def restore_like(template, loaded):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def flatten_tree(tree, prefix: str = "") -> Dict[str, Any]:
+    """Nested dicts -> {"a.b.c": leaf} (torch state_dict-style keys)."""
+    out: Dict[str, Any] = {}
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}."))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def match_params(template, loaded):
+    """Shape-aware partial init (reference utils/torch_utils.py:23-50
+    ``match_state_dict``, used for ``init_weight_model`` warm starts at
+    chain/model.py:129-154): take from ``loaded`` every leaf whose path exists
+    in ``template`` with the same shape, keep the template value elsewhere.
+
+    Returns ``(merged, matched_keys, unmatched_keys)`` where unmatched_keys are
+    the loaded paths that found no home (missing in template or wrong shape).
+    """
+    flat_loaded = flatten_tree(loaded)
+    matched, unmatched = [], set(flat_loaded)
+
+    def merge(tmpl, path=""):
+        if isinstance(tmpl, dict) or hasattr(tmpl, "items"):
+            return {k: merge(v, f"{path}{k}.") for k, v in tmpl.items()}
+        key = path[:-1]
+        cand = flat_loaded.get(key)
+        if cand is not None and np.shape(cand) == np.shape(tmpl):
+            matched.append(key)
+            unmatched.discard(key)
+            return np.asarray(cand)
+        return tmpl
+
+    merged = merge(template)
+    return merged, matched, sorted(unmatched)
+
+
 def latest_checkpoint(exp_dir: str, prefix: str = "", suffix: str = ".ckpt") -> Optional[str]:
     """Find the checkpoint with the highest integer tag, e.g. ``g_100.ckpt``."""
     best, best_it = None, -1

@@ -49,6 +49,30 @@ def test_train_asv_driver_smoke(tmp_path, monkeypatch):
     assert meta["model_id"] == "asv_xvector"
     assert len(meta["speakers"]) == 3
 
+    # resume: epoch 0's trainer checkpoint restores params/optimizer/monitor
+    # and the loop continues at epoch 1 (sidekit/model.py:267-303)
+    assert os.path.exists(os.path.join(exp, "trainer_0.ckpt"))
+    rc = train_asv.main([
+        "--train-set", d, "--dirname", exp, "--arch", "ecapa",
+        "--duration", "1.0", "--samples-per-speaker", "2",
+        "--examples-per-speaker", "2", "--minibatch-size", "6",
+        "--epochs", "2", "--lr", "0.001", "--channels", "32", "--embedding-size", "16",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(exp, "1.ckpt"))
+
+    # warm start into a wider head: shape-matching params transfer
+    exp2 = str(tmp_path / "exp_ft")
+    rc = train_asv.main([
+        "--train-set", d, "--dirname", exp2, "--arch", "ecapa",
+        "--duration", "1.0", "--samples-per-speaker", "2",
+        "--examples-per-speaker", "2", "--minibatch-size", "6",
+        "--epochs", "1", "--lr", "0.0005", "--channels", "32",
+        "--embedding-size", "16", "--fine-tune", "true",
+        "--init-weight-model", os.path.join(exp, "1.ckpt"),
+    ])
+    assert rc == 0
+
 
 def test_train_asr_driver_smoke(tmp_path):
     from satpu.bin import train_asr
