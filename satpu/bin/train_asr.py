@@ -100,7 +100,8 @@ def main(argv=None):
                                  merge_models)
     from ..models.asrbn import TDNNFNet, TDNNFNetConfig
     from ..utils.checkpoint import restore_like
-    from ..utils.metrics import MetricsWriter, profile_steps
+    from ..utils.metrics import (MetricsWriter, TensorBoardLogHandler,
+                                 profile_steps)
 
     os.makedirs(opts.dirname, exist_ok=True)
     den = DenominatorGraph.from_fst(Fst.read(opts.den_fst), num_pdfs=opts.num_pdfs)
@@ -207,6 +208,8 @@ def main(argv=None):
         preprocessor_schedule=preprocessor_schedule))
     valid_fn = jax.jit(make_chain_valid_step(model, den, topts))
     metrics_log = MetricsWriter(opts.dirname)
+    if metrics_log.tb is not None:
+        logging.getLogger().addHandler(TensorBoardLogHandler(metrics_log.tb))
 
     # ---- resume ----
     steps, start_epoch = 0, 0

@@ -97,6 +97,12 @@ def main(argv=None):
         logging.info("init_weight_model %s: %d params transferred, %d skipped",
                      opts.init_weight_model, len(matched), len(unmatched))
 
+    from ..utils.metrics import MetricsWriter, TensorBoardLogHandler
+
+    metrics_log = MetricsWriter(opts.dirname)
+    if metrics_log.tb is not None:
+        logging.getLogger().addHandler(TensorBoardLogHandler(metrics_log.tb))
+
     monitor = TrainingMonitor(patience=opts.patience)
 
     # ---- resume (sidekit/model.py:267-303: {epoch}.pt + trainer_{epoch}.pt) ----
@@ -144,6 +150,9 @@ def main(argv=None):
                                        "batch_stats": state.batch_stats}, wavs)
         eer = validation_eer(emb, labels)
         is_best = monitor.update(epoch, eer)
+        metrics_log.write(int(state.step),
+                          {"loss": float(np.mean(losses)) if losses else float("nan"),
+                           "val_eer": eer}, epoch=epoch)
         logging.info("epoch %d loss %.3f val-EER %.2f%%%s", epoch,
                      float(np.mean(losses)) if losses else float("nan"),
                      eer * 100, " (best)" if is_best else "")

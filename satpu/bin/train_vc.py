@@ -73,11 +73,13 @@ def main(argv=None):
     from .. import infer_helper
     from ..hifigan.dataset import HifiGanDataset
     from ..hifigan.trainer import (GanHparams, init_gan_state, make_gan_eval_step,
+                                   make_gan_sample_step,
                                    make_gan_train_step, restore_gan_state)
     from ..models.anonymizer import AnonymizationNet, AnonymizerConfig
     from ..models.asrbn import TDNNFNetConfig
     from ..utils import kaldi_data
-    from ..utils.metrics import MetricsWriter, profile_steps
+    from ..utils.metrics import (MetricsWriter, TensorBoardLogHandler,
+                                 profile_steps)
 
     os.makedirs(opts.dirname, exist_ok=True)
 
@@ -133,8 +135,11 @@ def main(argv=None):
         # which also feeds bucket-padded audio to get_f0)
         return np.asarray(f0_j(wav))[0]
 
+    # cache signature ties cached BN features to the extractor identity so a
+    # different --asrbn-checkpoint never reads another model's stale features
+    bn_sig = f"{opts.asrbn_checkpoint}|{asrbn_cfg}"
     ds = HifiGanDataset(opts.train_set, speakers=speakers, bn_fn=bn_fn, f0_fn=f0_fn,
-                        segment_size=opts.segment_size)
+                        segment_size=opts.segment_size, cache_signature=bn_sig)
     f0_cmvn = None
     if opts.f0_norm == "speaker":
         # per-speaker F0 statistics over the (cache-filling) stats pass, then
@@ -169,6 +174,7 @@ def main(argv=None):
     state, mpd, msd = init_gan_state(model, dict(variables), rng, h)
     step_fn = jax.jit(make_gan_train_step(model, mpd, msd, h))
     eval_fn = jax.jit(make_gan_eval_step(model, h))
+    sample_fn = jax.jit(make_gan_sample_step(model, h))
 
     # multi-host DP: each host feeds minibatch_size/nproc utterances; the
     # jitted step consumes the globally-assembled batch over the full mesh
@@ -187,6 +193,7 @@ def main(argv=None):
     if opts.dev_set:
         dev_ds = HifiGanDataset(opts.dev_set, speakers=speakers, bn_fn=bn_fn,
                                 f0_fn=f0_fn, segment_size=opts.segment_size,
+                                cache_signature=bn_sig,
                                 f0_norm_fn=(lambda f0, spk: f0_cmvn(f0, spk))
                                 if f0_cmvn is not None else None)
         if f0_cmvn is not None:
@@ -211,6 +218,8 @@ def main(argv=None):
                      last, start_epoch, steps, best_val)
 
     metrics_log = MetricsWriter(opts.dirname)
+    if metrics_log.tb is not None:
+        logging.getLogger().addHandler(TensorBoardLogHandler(metrics_log.tb))
 
     def validate_and_save(epoch, steps, best_val):
         val_err = None
@@ -222,6 +231,18 @@ def main(argv=None):
                 metrics_log.write(steps, "val_mel_error", val_err, epoch=epoch)
                 logging.info("validation mel error: %.4f (best %.4f)", val_err,
                              best_val)
+                # tensorboard audio + spectrogram samples from the first dev
+                # batch (reference hifigan/model.py:481-502)
+                if metrics_log.tb is not None:
+                    b0 = next(dev_ds.batches(opts.minibatch_size, shuffle=False))
+                    y_gen, mel_gen, mel_real = sample_fn(state.params_g,
+                                                         state.frozen_g, b0)
+                    metrics_log.audio(steps, "dev/y_gen", np.asarray(y_gen[0]),
+                                      h.sampling_rate)
+                    metrics_log.audio(steps, "dev/y_real",
+                                      np.asarray(b0["audio"][0]), h.sampling_rate)
+                    metrics_log.image(steps, "dev/mel_gen", np.asarray(mel_gen[0]))
+                    metrics_log.image(steps, "dev/mel_real", np.asarray(mel_real[0]))
         _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val,
               f0_cmvn)
         if val_err is not None and val_err < best_val:

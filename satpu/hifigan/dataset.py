@@ -102,7 +102,8 @@ class HifiGanDataset:
                  bn_fn: Optional[Callable] = None, f0_fn: Optional[Callable] = None,
                  cache_dir: Optional[str] = None, segment_size: int = 16640,
                  min_len: int = 17000, seed: int = 0, worker_name: str = "w0",
-                 f0_norm_fn: Optional[Callable] = None):
+                 f0_norm_fn: Optional[Callable] = None,
+                 cache_signature: str = ""):
         # f0_norm_fn(f0, speaker) -> f0: host-side per-speaker normalization
         # (the SpeakerCMVN flow, tuning/hifigan_clean.py:37); None = the model
         # normalizes per utterance in-graph
@@ -129,7 +130,8 @@ class HifiGanDataset:
         self._f0_takes_len = takes_len(f0_fn)
         cache_dir = cache_dir or os.path.join(data_dir, "feature_cache")
         self.bn_cache = FeatureCache(cache_dir, "get_bn", worker_name,
-                                     enabled=bn_fn is not None)
+                                     enabled=bn_fn is not None,
+                                     signature=cache_signature)
         self.f0_cache = FeatureCache(cache_dir, "get_f0", worker_name,
                                      enabled=f0_fn is not None)
         # min-length filter (vc train.py:167-174 filterlen_data_dir): drop

@@ -229,6 +229,26 @@ def make_gan_eval_step(anon_model: AnonymizationNet,
     return eval_step
 
 
+def make_gan_sample_step(anon_model: AnonymizationNet,
+                         h: GanHparams = GanHparams()) -> Callable:
+    """Jittable sample generation for observability: (params_g, frozen_g,
+    batch) -> (y_gen, mel_gen, mel_real) — the waveform + spectrogram pairs
+    the reference mirrors into tensorboard (hifigan/model.py:481-502)."""
+    mel_kw = dict(n_fft=h.n_fft, num_mels=h.num_mels, sampling_rate=h.sampling_rate,
+                  hop_size=h.hop_size, win_size=h.win_size, fmin=h.fmin, fmax=h.fmax)
+
+    def sample_step(params_g, frozen_g, batch):
+        variables = merge_generator_params(params_g, frozen_g)
+        y_gen = anon_model.apply(variables, batch["f0"], batch["bn"], batch["spk"],
+                                 method=anon_model.forward_decoder)
+        y = batch["audio"]
+        t = min(y.shape[-1], y_gen.shape[-1])
+        return (y_gen[:, :t], mel_spectrogram(y_gen[:, :t], **mel_kw),
+                mel_spectrogram(y[:, :t], **mel_kw))
+
+    return sample_step
+
+
 def restore_gan_state(state: GanTrainState, g_variables, d_state, trainer_state,
                       epoch: int, step: int) -> GanTrainState:
     """Rebuild a GanTrainState from the g_/d_/trainer_ checkpoint triplet.

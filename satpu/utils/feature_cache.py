@@ -22,7 +22,12 @@ from . import scp_io
 
 class FeatureCache:
     def __init__(self, cache_dir: str, func_name: str, worker_name: str = "w0",
-                 enabled: bool = True):
+                 enabled: bool = True, signature: str = ""):
+        """``signature`` identifies the extractor that produces the features
+        (e.g. checkpoint path + config): caches with different signatures live
+        in different files, so swapping the extractor can never serve stale
+        features computed by another model (the reference's formatter-hash
+        naming, fs.py:65-174, keys only on the function/worker names)."""
         self.enabled = enabled
         self.cache_dir = cache_dir
         self.func_name = func_name
@@ -32,8 +37,10 @@ class FeatureCache:
         self._lock = threading.Lock()
         if enabled:
             os.makedirs(cache_dir, exist_ok=True)
-            self._scp = os.path.join(cache_dir, f"{func_name}.{worker_name}.scp")
-            self._ark = os.path.join(cache_dir, f"{func_name}.{worker_name}.ark")
+            sig = ("." + hashlib.sha1(signature.encode()).hexdigest()[:8]
+                   if signature else "")
+            self._scp = os.path.join(cache_dir, f"{func_name}{sig}.{worker_name}.scp")
+            self._ark = os.path.join(cache_dir, f"{func_name}{sig}.{worker_name}.ark")
             if os.path.exists(self._scp):
                 self._reader = scp_io.FileReader(self._scp)
 

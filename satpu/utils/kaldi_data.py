@@ -77,8 +77,8 @@ def parse_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(x), rate
 
 
-def write_wav(path: str, samples: np.ndarray, rate: int, subtype: str = "pcm16") -> None:
-    """Write mono/multichannel float32 [-1,1] samples to a PCM16 WAV file."""
+def wav_bytes(samples: np.ndarray, rate: int, subtype: str = "pcm16") -> bytes:
+    """Encode mono/multichannel float32 [-1,1] samples as RIFF/WAV bytes."""
     x = np.asarray(samples)
     if x.ndim == 1:
         x = x[None, :]
@@ -94,15 +94,17 @@ def write_wav(path: str, samples: np.ndarray, rate: int, subtype: str = "pcm16")
         raise ValueError(f"unsupported subtype {subtype}")
     byte_rate = rate * channels * bits // 8
     block_align = channels * bits // 8
+    head = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", 16, fmt_tag, channels, rate, byte_rate,
+                          block_align, bits)
+            + b"data" + struct.pack("<I", len(pcm)))
+    return head + pcm
+
+
+def write_wav(path: str, samples: np.ndarray, rate: int, subtype: str = "pcm16") -> None:
+    """Write mono/multichannel float32 [-1,1] samples to a PCM16 WAV file."""
     with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(pcm)))
-        f.write(b"WAVE")
-        f.write(b"fmt ")
-        f.write(struct.pack("<IHHIIHH", 16, fmt_tag, channels, rate, byte_rate, block_align, bits))
-        f.write(b"data")
-        f.write(struct.pack("<I", len(pcm)))
-        f.write(pcm)
+        f.write(wav_bytes(samples, rate, subtype))
 
 
 def load_wav_from_scp(

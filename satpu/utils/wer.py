@@ -82,3 +82,28 @@ def corpus_wer(refs: Dict[str, str], hyps: Dict[str, str]) -> WerResult:
     return WerResult(wer=errs / max(words, 1), errors=errs, words=words,
                      substitutions=subs, insertions=ins, deletions=dels,
                      alignment=align)
+
+
+_OP_STYLE = {
+    "ok": "",
+    "sub": "background-color:#ffd54f",    # amber: substitution
+    "ins": "background-color:#ef9a9a",    # red: insertion
+    "del": "background-color:#90caf9;text-decoration:line-through",  # blue: deletion
+}
+
+
+def html_diff(result: WerResult, title: str = "") -> str:
+    """Render an alignment as the reference's notebook HTML diff
+    (jupiter.py:45-226): hypothesis row with colored sub/ins/del spans and
+    the reference word shown as a tooltip on substitutions."""
+    parts = ["<div style='font-family:monospace'>"]
+    if title:
+        parts.append(f"<b>{title}</b> {result!r}<br/>")
+    for op, ref_w, hyp_w in result.alignment:
+        word = hyp_w if op != "del" else ref_w
+        style = _OP_STYLE[op]
+        tip = f" title='ref: {ref_w}'" if op == "sub" else ""
+        parts.append(f"<span style='{style}'{tip}>{word}</span>" if style
+                     else f"<span>{word}</span>")
+    parts.append("</div>")
+    return " ".join(parts)

@@ -118,3 +118,14 @@ def test_native_decoder_epsilon_arcs():
     words, align, cost = native.decode(ng, ll)
     assert words == [7]
     assert align == [0, 1]
+
+
+def test_wer_html_diff():
+    from satpu.utils.wer import compute_wer, html_diff
+
+    r = compute_wer("the cat sat on the mat", "the bat sat on mat")
+    html = html_diff(r, title="utt1")
+    assert "utt1" in html and "<span" in html
+    assert "ref: cat" in html              # substitution tooltip
+    assert "line-through" in html          # deletion styled
+    assert html.count("<span") == len(r.alignment)

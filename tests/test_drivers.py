@@ -149,3 +149,40 @@ batch_size = 2
 
     out = kaldi_data.read_wav_scp(os.path.join(data_dir + "_anon", "wav.scp"))
     assert len(out) == 3
+
+
+def test_train_vc_driver_smoke_and_resume(tmp_path):
+    """train_vc end-to-end on a tiny set: epoch loop, validation + g_best,
+    tensorboard mirror, then resume from the trainer triplet."""
+    import dataclasses
+
+    import jax
+
+    from satpu import infer_helper
+    from satpu.bin import train_vc
+    from satpu.models.asrbn import TDNNFNet, TDNNFNetConfig
+
+    d = _make_asv_dir(tmp_path, n_spk=2, utts_per_spk=2, T=32000)
+    cfg_bn = TDNNFNetConfig(output_dim=32, hidden_dim=32, bottleneck_dim=16,
+                            prefinal_bottleneck_dim=16)
+    m = TDNNFNet(cfg_bn)
+    v = jax.jit(lambda k, w: m.init(k, w, method=m.extract_bn))(
+        jax.random.PRNGKey(0), np.zeros((1, 16000), np.float32))
+    bn_ckpt = str(tmp_path / "asrbn.ckpt")
+    infer_helper.save_model(bn_ckpt, "asrbn_tdnnf", dataclasses.asdict(cfg_bn), dict(v))
+
+    exp = str(tmp_path / "vc_exp")
+    common = [
+        "--train-set", d, "--dev-set", d, "--dirname", exp,
+        "--asrbn-checkpoint", bn_ckpt, "--bn-dim", "16",
+        "--minibatch-size", "2", "--segment-size", "3200",
+        "--checkpoint-interval", "2", "--upsample-initial-channel", "32",
+    ]
+    rc = train_vc.main(common + ["--training-epochs", "1"])
+    assert rc == 0
+    assert os.path.islink(os.path.join(exp, "g_best.ckpt"))
+    assert os.path.isdir(os.path.join(exp, "tb"))
+
+    # resume: second invocation restores the triplet and continues to epoch 2
+    rc = train_vc.main(common + ["--training-epochs", "2"])
+    assert rc == 0

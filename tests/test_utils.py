@@ -179,3 +179,63 @@ def test_run_parallel_failfast(tmp_path):
     assert 3 in rcs
     assert all(rc is not None for rc in rcs)
     assert any(rc < 0 for rc in rcs), "siblings should report the kill signal"
+
+
+def test_metrics_writer_tensorboard_mirror(tmp_path):
+    """Scalars/audio/image land both in metrics.jsonl and in a real TB event
+    file readable by tensorboard's own loader (reference mirrors everything
+    into SummaryWriter; satpu mirrors MetricsWriter into <dir>/tb)."""
+    import json
+
+    pytest_tb = __import__("pytest").importorskip("tensorboard")
+    from satpu.utils.metrics import MetricsWriter
+
+    d = str(tmp_path / "exp")
+    w = MetricsWriter(d)
+    assert w.tb is not None
+    w.write(1, {"loss": 0.5, "lr": 1e-3})
+    w.write(2, "loss", 0.25)
+    w.audio(2, "dev/sample", np.sin(np.linspace(0, 100, 1600)).astype(np.float32), 16000)
+    w.image(2, "dev/mel", np.random.rand(80, 100).astype(np.float32))
+    w.close()
+
+    lines = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
+    assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
+
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+
+    acc = EventAccumulator(os.path.join(d, "tb"),
+                           size_guidance={"scalars": 0, "audio": 0, "images": 0})
+    acc.Reload()
+    assert "loss" in acc.Tags()["scalars"] and "lr" in acc.Tags()["scalars"]
+    scal = acc.Scalars("loss")
+    assert [s.step for s in scal] == [1, 2]
+    assert scal[1].value == 0.25
+    assert "dev/sample" in acc.Tags()["audio"]
+    assert "dev/mel" in acc.Tags()["images"]
+    # the audio payload is a decodable RIFF wav
+    au = acc.Audio("dev/sample")[0]
+    assert au.encoded_audio_string[:4] == b"RIFF"
+    assert au.sample_rate == 16000
+
+
+def test_feature_cache_signature_isolation(tmp_path):
+    """Different extractor signatures use different cache files — swapping
+    the BN extractor must never serve another model's stale features."""
+    from satpu.utils.feature_cache import FeatureCache
+
+    d = str(tmp_path / "cache")
+    a = FeatureCache(d, "get_bn", signature="model_a")
+    a.put("utt1", np.full((4, 2), 1.0, np.float32))
+    b = FeatureCache(d, "get_bn", signature="model_b")
+    assert b.get("utt1") is None
+    got = b.get_or_compute("utt1", lambda: np.full((8, 2), 2.0, np.float32))
+    assert got.shape == (8, 2)
+    # original cache untouched
+    np.testing.assert_array_equal(
+        FeatureCache(d, "get_bn", signature="model_a").get("utt1"),
+        np.full((4, 2), 1.0, np.float32))
+    # unsignatured caches keep the legacy file name
+    c = FeatureCache(d, "get_bn")
+    assert c.get("utt1") is None
