@@ -272,6 +272,30 @@ def viterbi_path(local: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_band_mats(frame_len: int, nfft: int, bin_lo: int, bin_hi: int):
+    """Cos/sin DFT matrices for a band of rfft bins (host-side constants)."""
+    k = np.arange(bin_lo, bin_hi)
+    t = np.arange(frame_len)
+    ang = -2.0 * np.pi / nfft * np.outer(t, k)
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def banded_dft_mag(frames: jnp.ndarray, nfft: int, bin_lo: int, bin_hi: int) -> jnp.ndarray:
+    """``abs(rfft(frames, nfft))[..., bin_lo:bin_hi]`` as two MXU matmuls.
+
+    YAAPT zero-pads short analysis frames (560/1120 samples) to an 8192-point
+    FFT but only reads a narrow bin band; the direct banded DFT is a
+    [frames, L] x [L, bins] matmul — far less compute+memory than the full
+    FFT custom call, and it runs on the MXU. HIGHEST precision keeps f32
+    accuracy so the downstream peak/DP decisions match the FFT path.
+    """
+    C, S = _dft_band_mats(frames.shape[-1], nfft, bin_lo, bin_hi)
+    re = jnp.matmul(frames, jnp.asarray(C), precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, jnp.asarray(S), precision=jax.lax.Precision.HIGHEST)
+    return jnp.sqrt(re * re + im * im)
+
+
 def nlfer(filtered: jnp.ndarray, frame_size: int, frame_jump: int, nfft: int,
           p: Dict[str, float]):
     size = filtered.shape[-1]
@@ -281,8 +305,8 @@ def nlfer(filtered: jnp.ndarray, frame_size: int, frame_jump: int, nfft: int,
     n_frames = len(range(frame_size // 2, size - frame_size // 2, frame_jump))
     window = jnp.asarray(np.hanning(frame_size + 2)[1:-1].astype(np.float32))
     frames = frame_strided(filtered, n_frames, frame_size, frame_jump) * window
-    spec = jnp.fft.rfft(frames, nfft)
-    frame_energy = jnp.sum(jnp.abs(spec[:, n_min - 1 : n_max]), axis=1).astype(jnp.float32)
+    mag = banded_dft_mag(frames, nfft, n_min - 1, n_max)
+    frame_energy = jnp.sum(mag, axis=1).astype(jnp.float32)
     mean_energy = jnp.mean(frame_energy)
     energy = frame_energy / mean_energy
     vuv = energy > p["nlfer_thresh1"]
@@ -314,9 +338,6 @@ def shc_all_frames(filtered_nl: jnp.ndarray, n_frames: int, frame_size: int,
     window = jnp.asarray(np.kaiser(nframe_size + 1, 0.5)[:-1].astype(np.float32))
     frames = frame_strided(data, n_frames, nframe_size, frame_jump) * window
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    mag = jnp.abs(jnp.fft.rfft(frames, nfft))  # [F, nfft//2+1]
-    # reference prepends half_window zeros (yaapt.py:220,229)
-    mag = jnp.pad(mag, ((0, 0), (half_window, 0)))
 
     # SHC[k-? ] see yaapt.py:231-235: SHC[min_shc-1+i] =
     #   sum_j prod_h mag[(min_shc+i)*(h+1) + j]
@@ -324,7 +345,13 @@ def shc_all_frames(filtered_nl: jnp.ndarray, n_frames: int, frame_size: int,
     h_idx = np.arange(num_harmonics + 1)
     j_idx = np.arange(window_length)
     gather = ((min_shc + i_idx)[:, None, None] * (h_idx + 1)[None, :, None]
-              + j_idx[None, None, :])  # [I, H, J]
+              + j_idx[None, None, :])  # [I, H, J] (indices into half_window-padded mag)
+    # only bins < gather.max() are ever read: banded DFT instead of the full
+    # 8192-point FFT (reference prepends half_window zeros, yaapt.py:220,229 —
+    # padded index b reads rfft bin b - half_window)
+    top_bin = int(gather.max()) + 1 - half_window
+    mag = banded_dft_mag(frames, nfft, 0, top_bin)
+    mag = jnp.pad(mag, ((0, 0), (half_window, 0)))
     gathered = mag[:, jnp.asarray(gather.reshape(-1))].reshape(
         (n_frames,) + gather.shape)
     shc_band = jnp.sum(jnp.prod(gathered, axis=2), axis=2)  # [F, I]
