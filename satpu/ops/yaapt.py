@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -352,12 +353,88 @@ def shc_all_frames(filtered_nl: jnp.ndarray, n_frames: int, frame_size: int,
     top_bin = int(gather.max()) + 1 - half_window
     mag = banded_dft_mag(frames, nfft, 0, top_bin)
     mag = jnp.pad(mag, ((0, 0), (half_window, 0)))
-    gathered = mag[:, jnp.asarray(gather.reshape(-1))].reshape(
-        (n_frames,) + gather.shape)
-    shc_band = jnp.sum(jnp.prod(gathered, axis=2), axis=2)  # [F, I]
+    I = max_shc - min_shc + 1
+    if _use_pallas_shc():
+        shc_band = _shc_band_pallas(mag, min_shc, I, num_harmonics + 1,
+                                    window_length)
+    else:
+        gathered = mag[:, jnp.asarray(gather.reshape(-1))].reshape(
+            (n_frames,) + gather.shape)
+        shc_band = jnp.sum(jnp.prod(gathered, axis=2), axis=2)  # [F, I]
     shc = jnp.zeros((n_frames, max_shc), dtype=jnp.float32)
-    shc = shc.at[:, min_shc - 1 : max_shc].set(shc_band[:, : max_shc - min_shc + 1])
+    shc = shc.at[:, min_shc - 1 : max_shc].set(shc_band[:, :I])
     return shc
+
+
+def _use_pallas_shc() -> bool:
+    # measured on a v5e at B=64x10s: the kernel itself is VMEM-resident and
+    # cheap, but the XLA-side phase deinterleave (lane-strided slices) costs
+    # more than the gather it replaces (get_f0 242 ms vs 127 ms) — so the
+    # gather formulation stays the default and the kernel is opt-in
+    return os.environ.get("SATPU_PALLAS_SHC", "") == "1"
+
+
+def _shc_band_pallas(mag: jnp.ndarray, min_shc: int, n_out: int, n_harm: int,
+                     window_length: int, block_frames: int = 128,
+                     interpret: bool = False) -> jnp.ndarray:
+    """SHC band via a Pallas kernel.
+
+    The XLA gather formulation re-reads ~19k HBM elements per frame
+    (sum_j prod_h mag[(min_shc+i)*(h+1)+j]); here each program holds a block
+    of rows in VMEM so HBM traffic is one row read + one band write per
+    frame. Mosaic only supports stride-1 vector slices, so the harmonic
+    strides are deinterleaved OUTSIDE the kernel: for each stride s,
+    Phase_{s,r}[f, q] = mag[f, q*s + r] — in-kernel the (h, j) term is the
+    stride-1 slice Phase_{h+1, j%%(h+1)}[:, min_shc + j//(h+1) : ... + I].
+    """
+    from jax.experimental import pallas as pl
+
+    F, M = mag.shape
+    lanes = 128
+    I_pad = ((n_out + lanes - 1) // lanes) * lanes
+    # phase arrays need entries q up to min_shc + I_pad - 1 + window_length
+    Lp = min_shc + I_pad + window_length
+    Lp_pad = ((Lp + lanes - 1) // lanes) * lanes
+    M_need = Lp_pad * n_harm  # deepest read: q*s + r with s = n_harm
+    magp = jnp.pad(mag, ((0, 0), (0, max(0, M_need - M))))
+
+    packs = []
+    for s in range(1, n_harm + 1):
+        phases = [
+            jnp.pad(magp[:, r::s][:, :Lp_pad],
+                    ((0, 0), (0, max(0, Lp_pad - magp[:, r::s][:, :Lp_pad].shape[1]))))
+            for r in range(s)
+        ]
+        packs.append(jnp.concatenate(phases, axis=1))  # [F, s*Lp_pad]
+
+    F_pad = ((F + block_frames - 1) // block_frames) * block_frames
+    packs = [jnp.pad(pk, ((0, F_pad - F), (0, 0))) for pk in packs]
+
+    def kernel(*refs):
+        pack_refs, out_ref = refs[:-1], refs[-1]
+        vals = [r[...] for r in pack_refs]
+        acc = jnp.zeros((block_frames, I_pad), jnp.float32)
+        for j in range(window_length):
+            term = None
+            for h in range(n_harm):
+                s = h + 1
+                start = (j % s) * Lp_pad + min_shc + j // s
+                sl = jax.lax.slice(vals[h], (0, start),
+                                   (block_frames, start + I_pad), (1, 1))
+                term = sl if term is None else term * sl
+            acc = acc + term
+        out_ref[...] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((F_pad, I_pad), jnp.float32),
+        grid=(F_pad // block_frames,),
+        in_specs=[pl.BlockSpec((block_frames, (s + 1) * Lp_pad), lambda i: (i, 0))
+                  for s in range(n_harm)],
+        out_specs=pl.BlockSpec((block_frames, I_pad), lambda i: (i, 0)),
+        interpret=interpret,
+    )(*packs)
+    return out[:F, :n_out]
 
 
 def peaks_frame(data: jnp.ndarray, delta: float, maxpeaks: int, p: Dict[str, float]):
@@ -388,8 +465,15 @@ def peaks_frame(data: jnp.ndarray, delta: float, maxpeaks: int, p: Dict[str, flo
     valid = is_peak & centered
 
     merit_all = jnp.where(valid, d_n, -1.0)
-    # stable top-maxpeaks by merit desc, ties by lag order (argsort is stable)
-    order = jnp.argsort(-merit_all, stable=True)[:maxpeaks]
+    # top-maxpeaks by merit desc, ties by lag order: iterative argmax+mask
+    # (argmax returns the first occurrence) — a full lane-shuffle sort per
+    # frame was one of the hotter ops in the device profile
+    def top1(carry, _):
+        m = carry
+        idx = jnp.argmax(m)
+        return m.at[idx].set(-jnp.inf), idx
+
+    _, order = jax.lax.scan(top1, merit_all, None, length=maxpeaks)
     sel_valid = valid[order]
     pitch = jnp.where(sel_valid, jnp.asarray(n_pos)[order].astype(jnp.float32) * delta, 0.0)
     merit = jnp.where(sel_valid, d_n[order], 0.0)
