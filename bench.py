@@ -50,10 +50,12 @@ def main():
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
     model = AnonymizationNet(cfg)
 
-    # throughput scales with batch (per-sample fixed costs amortize):
-    # measured 1005 a-s/s at B=8, 1310 at 32, 1596 at 64, 1842 at 128 on a
-    # v5e; 64 is the robust default (B=256 exceeded compiler limits)
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    # throughput scales with batch up to full lane occupancy: with the
+    # banded-DFT YAAPT, measured 1978 a-s/s at B=64, 2457 at 128, 2172 at
+    # 192 (XLA lays batch on the 128-lane axis in the generator's small-
+    # channel stages, so 128 fills the vector unit; 192 goes ragged and
+    # B=256 exceeded compiler limits)
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     T = int(os.environ.get("BENCH_SAMPLES", "160000"))  # 10 s per utt
     sr = 16000
 
