@@ -68,10 +68,15 @@ class WNConv1d(nn.Module):
             kernel = kernel.astype(self.dtype)
         elif x.dtype != kernel.dtype:
             x = x.astype(kernel.dtype)
-        # note: an explicit im2row dot_general for the small-channel tail
-        # stages was measured 5% SLOWER end-to-end than XLA's loop-fusion
-        # lowering (the [B, T, k*C] materialization costs more HBM traffic
-        # than the MXU gains back); keep the plain conv form
+        # note: two attempted rewrites of the small-channel tail stages were
+        # measured SLOWER end-to-end than XLA's loop-fusion lowering and
+        # reverted: (a) explicit im2row dot_general (+5%; the [B, T, k*C]
+        # materialization costs more HBM than the MXU gains back), (b) time-
+        # blocked block-Toeplitz matmuls, g=128//C steps folded into lanes
+        # (40% faster in isolation at C=16/T=160k, but 3.6x slower in-graph:
+        # per-conv [B,T,C]<->[B,T/g,gC] reshapes force relayouts against the
+        # {0,2,1} layouts XLA picks for the surrounding ops). Keep the plain
+        # conv form.
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
