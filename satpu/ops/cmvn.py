@@ -198,3 +198,75 @@ class SpeakerCMVN:
         out = cls(keep_zeros=meta.get("keep_zeros", True))
         out.stats = dict(meta.get("stats", {}))
         return out
+
+
+class CMVN:
+    """Kaldi-stats-based CMVN applier (reference cmvn.py:9-130).
+
+    ``stats`` maps key -> kaldi (2, dim+1) stats matrix: row 0 = feature sums
+    with the frame count in the last column, row 1 = sums of squares. Keys
+    are speakers (with ``utt2spk`` routing utterances) or ``None`` for a
+    global matrix. The averaged "generic-spk" entry matches the reference's
+    unseen-speaker fallback.
+    """
+
+    def __init__(self, stats, norm_means: bool = True, norm_vars: bool = False,
+                 utt2spk: Optional[dict] = None, reverse: bool = False,
+                 std_floor: float = 1e-20):
+        import numpy as np
+
+        if not isinstance(stats, dict):
+            stats = {None: np.asarray(stats)}
+        self.norm_means = norm_means
+        self.norm_vars = norm_vars
+        self.reverse = reverse
+        self.utt2spk = utt2spk
+        self.bias: dict = {}
+        self.scale: dict = {}
+        acc_b = acc_s = None
+        for spk, st in stats.items():
+            st = np.asarray(st)
+            assert st.shape[0] == 2, st.shape
+            count = float(np.ravel(st[0, -1])[0])
+            mean = st[0, :-1] / count
+            var = st[1, :-1] / count - mean * mean
+            std = np.maximum(np.sqrt(np.maximum(var, 0.0)), std_floor)
+            self.bias[spk] = (-mean).astype(np.float32)
+            self.scale[spk] = (1.0 / std).astype(np.float32)
+            acc_b = self.bias[spk] if acc_b is None else acc_b + self.bias[spk]
+            acc_s = self.scale[spk] if acc_s is None else acc_s + self.scale[spk]
+        n = len(stats)
+        self.bias["generic-spk"] = acc_b / n
+        self.scale["generic-spk"] = acc_s / n
+
+    def __call__(self, x, uttid=None):
+        if self.utt2spk is not None and uttid != "generic-spk":
+            spk = self.utt2spk[uttid]
+        else:
+            spk = uttid if uttid in self.bias else None
+            if spk not in self.bias:
+                spk = "generic-spk"
+        b, s = self.bias[spk], self.scale[spk]
+        if not self.reverse:
+            if self.norm_means:
+                x = x + b
+            if self.norm_vars:
+                x = x * s
+        else:
+            if self.norm_vars:
+                x = x / s
+            if self.norm_means:
+                x = x - b
+        return x
+
+    @classmethod
+    def from_ark(cls, path: str, **kw):
+        """Per-speaker stats from a kaldi ark/scp of (2, dim+1) matrices."""
+        from ..utils import scp_io
+
+        if path.endswith(".scp"):
+            r = scp_io.FileReader(path)
+            stats = {k: r[k] for k in r.keys()}
+        else:
+            stats = dict(scp_io.read_ark(path))
+        return cls(stats, **kw)

@@ -236,6 +236,19 @@ def eer_ci_bootstrap(tar, non, n_boot: int = 100, alpha: float = 0.05,
     return eer, float(lo), float(hi)
 
 
+def ece(tar, non, plo):
+    """Empirical cross-entropy of LLR scores at prior log-odds ``plo``
+    (metric.py:758-774); the curve behind the reference's ECE plots."""
+    tar = np.atleast_1d(np.asarray(tar, np.float64))
+    non = np.atleast_1d(np.asarray(non, np.float64))
+    plo = np.atleast_1d(np.asarray(plo, np.float64))
+    out = np.zeros(plo.shape)
+    for i, p in enumerate(plo):
+        out[i] = sigmoid(p) * np.mean(-np.log(sigmoid(tar + p)))
+        out[i] += sigmoid(-p) * np.mean(-np.log(sigmoid(-non - p)))
+    return out / np.log(2)
+
+
 def dece(tar_llrs, nontar_llrs) -> float:
     """Discrepancy empirical cross-entropy summary (metric.py:789-813)."""
 

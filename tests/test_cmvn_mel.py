@@ -91,3 +91,55 @@ def test_mel_spectrogram_matches_torch_stft(rng):
     ref = torch.sqrt(spec.real**2 + spec.imag**2 + 1e-9).numpy()
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_kaldi_stats_cmvn_class():
+    """CMVN from kaldi (2, dim+1) stats: per-speaker routing + generic-spk
+    fallback + reverse round-trip (reference cmvn.py:9-130)."""
+    import numpy as np
+
+    from satpu.ops.cmvn import CMVN
+
+    rng = np.random.default_rng(0)
+    dim = 5
+    stats = {}
+    feats = {}
+    for spk in ("A", "B"):
+        x = rng.standard_normal((100, dim)) * (2.0 if spk == "A" else 0.5) + 3.0
+        st = np.zeros((2, dim + 1))
+        st[0, :-1] = x.sum(0)
+        st[0, -1] = len(x)
+        st[1, :-1] = (x**2).sum(0)
+        stats[spk] = st
+        feats[spk] = x
+    utt2spk = {"u1": "A", "u2": "B"}
+    c = CMVN(stats, norm_means=True, norm_vars=True, utt2spk=utt2spk)
+    y = c(feats["A"], "u1")
+    np.testing.assert_allclose(y.mean(0), 0.0, atol=1e-6)
+    np.testing.assert_allclose(y.std(0), 1.0, atol=1e-2)
+    # reverse undoes forward
+    back = CMVN(stats, norm_means=True, norm_vars=True, utt2spk=utt2spk,
+                reverse=True)(y, "u1")
+    np.testing.assert_allclose(back, feats["A"], atol=1e-5)
+    # unseen utt falls back to generic-spk (no crash, finite output)
+    c2 = CMVN(stats, norm_means=True, norm_vars=True)
+    z = c2(feats["B"], "unknown-utt")
+    assert np.isfinite(z).all()
+
+
+def test_ece_curve():
+    import numpy as np
+
+    from satpu.sidekit.scoring import ece
+
+    rng = np.random.default_rng(1)
+    tar = rng.standard_normal(500) + 2.0   # well-separated LLRs
+    non = rng.standard_normal(500) - 2.0
+    plo = np.linspace(-3, 3, 7)
+    e = ece(tar, non, plo)
+    assert e.shape == (7,)
+    assert np.all(e > 0)
+    # a recognizer with informative LLRs beats the trivial one everywhere:
+    # trivial ECE (LLR=0) at prior p is entropy-like and larger
+    e0 = ece(np.zeros(500), np.zeros(500), plo)
+    assert np.all(e < e0)

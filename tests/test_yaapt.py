@@ -150,3 +150,28 @@ def test_yaapt_detects_pitch():
     voiced = out[out > 0]
     assert voiced.size > 0.7 * out.size
     assert abs(np.median(voiced) - f0) < 7.5, np.median(voiced)
+
+
+def test_shc_pallas_kernel_matches_gather():
+    """The opt-in Pallas SHC kernel (interpret mode on CPU) matches the XLA
+    gather formulation bit-for-bit up to f32 product reassociation."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    Y = importlib.import_module("satpu.ops.yaapt")
+    rng = np.random.default_rng(7)
+    F, M = 60, 1100
+    mag = jnp.asarray(rng.random((F, M)).astype(np.float32))
+    min_shc, I, H, J = 31, 226, 4, 21
+    i_idx = np.arange(I)
+    h_idx = np.arange(H)
+    j_idx = np.arange(J)
+    g = ((min_shc + i_idx)[:, None, None] * (h_idx + 1)[None, :, None]
+         + j_idx[None, None, :])
+    ref = jnp.sum(jnp.prod(
+        jnp.pad(mag, ((0, 0), (0, 2000)))[:, g.reshape(-1)].reshape((F,) + g.shape),
+        axis=2), axis=2)
+    out = Y._shc_band_pallas(mag, min_shc, I, H, J, block_frames=32,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
