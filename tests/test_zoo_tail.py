@@ -178,3 +178,22 @@ def test_xvector_frontend_variants(rng):
         v = jax.jit(lambda k, w, m=m: m.init(k, w))(jax.random.PRNGKey(0), wav)
         (loss, logits), xv = m.apply(v, wav)
         assert logits.shape == (2, 4) and np.isfinite(np.asarray(xv)).all()
+
+
+def test_gru_pooling(rng):
+    import jax
+
+    from satpu.sidekit.pooling import GruPooling
+
+    B, T, C = 2, 20, 16
+    mod = GruPooling(input_size=C, gru_node=24, nb_gru_layer=2)
+    x = np.asarray(rng.standard_normal((B, T, C)), np.float32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(v, x)
+    assert out.shape == (B, 24)
+    assert np.isfinite(np.asarray(out)).all()
+    # last-timestep summary actually depends on the whole sequence
+    x2 = x.copy()
+    x2[:, 0, :] += 1.0
+    out2 = mod.apply(v, x2)
+    assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-6
