@@ -16,8 +16,25 @@ forward recursion over flattened FST arc tables:
   exactly the beta recursion. The xent-regularizer derivative uses numerator
   posteriors, like the reference (chain/objf.py:107-123).
 
-The scan body is dense segment-reduce work that XLA maps well to TPU; a
-Pallas kernel for the arc gather/scatter is a later optimization lever.
+TPU mapping (the round-3 device profile): XLA lowers per-arc gathers and
+segment reductions to scalar-core serialized gather/scatter (~100M elem/s),
+which made the den recursion ~350 ms/step at full scale. The recursion is
+therefore formulated MXU-first:
+
+- the per-arc emission gather ``ll_t[pdf[e]]`` for ALL frames is one big
+  one-hot matmul outside the scan ([B*T, P] @ [P, E]),
+- inside the scan, the src gather is ``alpha @ G_src`` (one-hot [S, E]) and
+  the per-destination logsumexp is ``exp(scores - m) @ G_dst`` (one-hot
+  [E, S]) with a stop-gradient per-frame max shift — Kaldi's own
+  probability-domain-with-rescaling semantics (chain-denominator.cc), where
+  mass more than ~87 nats below the frame max flushes to zero.
+
+One-hot matmuls are exact gathers/segment-sums (each column has a single 1;
+zeros contribute exactly 0 in any precision); HIGH matmul precision (bf16x3,
+~2^-21 relative) carries the f32 values through the MXU. Measured at full
+scale (B=16 x 3 s, 13-layer TDNNF-1024, 3280 pdfs, 1601-state/12808-arc den
+graph, v5e): 470 ms/step with the gather/scatter formulation -> 35 ms/step
+(51.5 at HIGHEST precision).
 """
 from __future__ import annotations
 
@@ -33,14 +50,43 @@ from .fst import NEG_INF as FST_NEG_INF, Fst, GraphArrays, fst_to_arrays
 NEG_INF = -1e30
 
 
-def _seg_logsumexp(scores: jnp.ndarray, dst: jnp.ndarray, num_states: int) -> jnp.ndarray:
-    """Log-sum-exp of ``scores`` grouped by destination state."""
-    m = jax.ops.segment_max(scores, dst, num_segments=num_states)
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    sums = jax.ops.segment_sum(jnp.exp(scores - m_safe[dst]), dst,
-                               num_segments=num_states)
-    out = jnp.log(jnp.maximum(sums, 1e-38)) + m_safe
-    return jnp.where(jnp.isfinite(m), out, NEG_INF)
+_HI = jax.lax.Precision.HIGH  # bf16x3: ~f32-exact for one-hot gathers at half the pass count of HIGHEST
+
+
+def _one_hot_f32(idx, depth: int, axis_first: bool):
+    """[E] indices -> one-hot f32 [depth, E] (axis_first) or [E, depth].
+
+    Works for traced jnp indices and plain numpy (numpy builds a host
+    constant, which for the big shared den graph keeps the matrices out of
+    the traced graph-construction path)."""
+    if isinstance(idx, np.ndarray):
+        E = len(idx)
+        if axis_first:
+            out = np.zeros((depth, E), np.float32)
+            out[idx, np.arange(E)] = 1.0
+        else:
+            out = np.zeros((E, depth), np.float32)
+            out[np.arange(E), idx] = 1.0
+        return out
+    oh = jax.nn.one_hot(idx, depth, dtype=jnp.float32)  # [E, depth]
+    return oh.T if axis_first else oh
+
+
+def _matmul_logsumexp_step(alpha, arc_score_t, G_src, G_dst):
+    """One forward step: alpha [..., S] -> [..., S].
+
+    arc_score_t [..., E] = w + ll gather, precomputed. Gathers and the
+    per-destination sum run as one-hot matmuls on the MXU; the per-frame max
+    shift (stop-gradient) is Kaldi's probability-domain rescale."""
+    src_alpha = jnp.matmul(alpha, G_src, precision=_HI)  # [..., E]
+    scores = src_alpha + arc_score_t
+    m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
+    m = jnp.where(m > NEG_INF / 2, m, 0.0)
+    sums = jnp.matmul(jnp.exp(scores - m), G_dst, precision=_HI)  # [..., S]
+    # floor must be a NORMAL f32 (denormals flush to zero -> log(0) = -inf),
+    # and the result clamped: a -inf alpha would turn the next step's
+    # one-hot matmul into -inf * 0 = NaN
+    return jnp.maximum(jnp.log(jnp.maximum(sums, 1e-30)) + m, NEG_INF)
 
 
 def fst_forward(loglikes: jnp.ndarray, arc_src, arc_dst, arc_pdf, arc_logprob,
@@ -52,18 +98,23 @@ def fst_forward(loglikes: jnp.ndarray, arc_src, arc_dst, arc_pdf, arc_logprob,
     identity steps (the alpha vector is carried through unchanged).
     """
     S = start_logprob.shape[0]
+    P = loglikes.shape[-1]
     T = loglikes.shape[0]
+    G_src = _one_hot_f32(arc_src, S, axis_first=True)  # [S, E]
+    G_dst = _one_hot_f32(arc_dst, S, axis_first=False)  # [E, S]
+    G_pdf = _one_hot_f32(arc_pdf, P, axis_first=True)  # [P, E]
+    # all frames' per-arc emission scores in one matmul (outside the scan)
+    arc_scores = jnp.matmul(loglikes, G_pdf, precision=_HI) + arc_logprob[None, :]
 
     def step(alpha, inp):
-        t, ll_t = inp
-        scores = alpha[arc_src] + arc_logprob + ll_t[arc_pdf]
-        new_alpha = _seg_logsumexp(scores, arc_dst, S)
+        t, sc_t = inp
+        new_alpha = _matmul_logsumexp_step(alpha, sc_t, G_src, G_dst)
         if num_frames is not None:
             new_alpha = jnp.where(t < num_frames, new_alpha, alpha)
         return new_alpha, None
 
     alpha0 = jnp.maximum(start_logprob, NEG_INF)
-    alphaT, _ = jax.lax.scan(step, alpha0, (jnp.arange(T), loglikes))
+    alphaT, _ = jax.lax.scan(step, alpha0, (jnp.arange(T), arc_scores))
     total = jax.nn.logsumexp(jnp.maximum(alphaT + final_logprob, NEG_INF))
     return total
 
@@ -103,11 +154,16 @@ class DenominatorGraph(NamedTuple):
 
 def den_forward(loglikes: jnp.ndarray, den: DenominatorGraph,
                 leaky_hmm_coefficient: float = 1e-5) -> jnp.ndarray:
-    """Batched denominator log-prob. loglikes: [B, T, P] -> [B]."""
+    """Batched denominator log-prob. loglikes: [B, T, P] -> [B].
+
+    The one-hot gather/scatter matrices for the shared graph are built with
+    numpy at trace time (den.* are host arrays), so they land in the program
+    as constants instead of scalar-core gathers."""
     S = den.start_logprob.shape[0]
-    arc_src = jnp.asarray(den.arc_src)
-    arc_dst = jnp.asarray(den.arc_dst)
-    arc_pdf = jnp.asarray(den.arc_pdf)
+    P = loglikes.shape[-1]
+    G_src = _one_hot_f32(den.arc_src, S, axis_first=True)
+    G_dst = _one_hot_f32(den.arc_dst, S, axis_first=False)
+    G_pdf = _one_hot_f32(den.arc_pdf, P, axis_first=True)
     arc_w = jnp.asarray(den.arc_logprob)
     init = jnp.asarray(den.initial_probs)
     log_init = jnp.log(jnp.maximum(init, 1e-20))
@@ -119,17 +175,17 @@ def den_forward(loglikes: jnp.ndarray, den: DenominatorGraph,
         leaked = jnp.log(leaky_hmm_coefficient) + log_init[None, :] + tot
         return jnp.logaddexp(alpha, leaked)
 
-    def step(alpha, ll_t):
+    # [B, T, E] per-arc emission scores in one MXU matmul, outside the scan
+    arc_scores = jnp.matmul(loglikes, G_pdf, precision=_HI) + arc_w[None, None, :]
+
+    def step(alpha, sc_t):
         alpha = leak(alpha)
-        scores = alpha[:, arc_src] + arc_w[None, :] + jnp.take_along_axis(
-            ll_t, jnp.broadcast_to(arc_pdf[None, :], (ll_t.shape[0], arc_pdf.shape[0])),
-            axis=1)
-        new_alpha = jax.vmap(lambda s: _seg_logsumexp(s, arc_dst, S))(scores)
+        new_alpha = _matmul_logsumexp_step(alpha, sc_t, G_src, G_dst)
         return new_alpha, None
 
     B = loglikes.shape[0]
     alpha0 = jnp.broadcast_to(jnp.maximum(den.start_logprob, NEG_INF), (B, S))
-    alphaT, _ = jax.lax.scan(step, alpha0, jnp.moveaxis(loglikes, 1, 0))
+    alphaT, _ = jax.lax.scan(step, alpha0, jnp.moveaxis(arc_scores, 1, 0))
     alphaT = leak(alphaT)
     return jax.nn.logsumexp(jnp.maximum(alphaT + den.final_logprob[None, :], NEG_INF),
                             axis=-1)
