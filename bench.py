@@ -96,6 +96,10 @@ def main():
     # dependency-chain the iterations: on this runtime, blocking on the last
     # of N independent dispatches does NOT wait for the earlier ones, so an
     # unchained loop under-measures; the chain adds one trivial fused add.
+    # The final sync is a device-to-host scalar fetch — block_until_ready
+    # itself has been observed returning before chained work completes
+    # (round-3: a 470 ms training step "measured" 4.2 ms that way), while
+    # fetch-synced numbers match jax.profiler device traces within 1%.
     # Two measured passes, best-of: the shared device occasionally stalls a
     # pass and a single-sample result would record the stall, not the chip.
     iters = int(os.environ.get("BENCH_ITERS", "10"))
@@ -106,7 +110,7 @@ def main():
         for _ in range(iters):
             out = convert(cur, tid_d)
             cur = wav_d + 0.0 * out[:, :T]
-        jax.block_until_ready(cur)
+        float(cur[0, 0])
         return time.perf_counter() - t0
 
     dt = min(timed_pass(), timed_pass())
