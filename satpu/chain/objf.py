@@ -33,8 +33,10 @@ One-hot matmuls are exact gathers/segment-sums (each column has a single 1;
 zeros contribute exactly 0 in any precision); HIGH matmul precision (bf16x3,
 ~2^-21 relative) carries the f32 values through the MXU. Measured at full
 scale (B=16 x 3 s, 13-layer TDNNF-1024, 3280 pdfs, 1601-state/12808-arc den
-graph, v5e): 470 ms/step with the gather/scatter formulation -> 35 ms/step
-(51.5 at HIGHEST precision).
+graph, v5e): 470 ms/step with the gather/scatter formulation -> 30 ms/step
+(35 with f32 one-hots, 51.5 at HIGHEST precision; the bf16 one-hot storage
+halves the scan's HBM traffic and the 10-step objf trajectory is
+bit-identical to the f32-matrix run).
 """
 from __future__ import annotations
 
@@ -78,11 +80,13 @@ def _matmul_logsumexp_step(alpha, arc_score_t, G_src, G_dst):
     arc_score_t [..., E] = w + ll gather, precomputed. Gathers and the
     per-destination sum run as one-hot matmuls on the MXU; the per-frame max
     shift (stop-gradient) is Kaldi's probability-domain rescale."""
-    src_alpha = jnp.matmul(alpha, G_src, precision=_HI)  # [..., E]
+    src_alpha = jnp.matmul(alpha, G_src.astype(jnp.bfloat16),
+                           precision=_HI).astype(jnp.float32)  # [..., E]
     scores = src_alpha + arc_score_t
     m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
     m = jnp.where(m > NEG_INF / 2, m, 0.0)
-    sums = jnp.matmul(jnp.exp(scores - m), G_dst, precision=_HI)  # [..., S]
+    sums = jnp.matmul(jnp.exp(scores - m), G_dst.astype(jnp.bfloat16),
+                      precision=_HI).astype(jnp.float32)  # [..., S]
     # floor must be a NORMAL f32 (denormals flush to zero -> log(0) = -inf),
     # and the result clamped: a -inf alpha would turn the next step's
     # one-hot matmul into -inf * 0 = NaN
