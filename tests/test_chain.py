@@ -152,3 +152,28 @@ def test_fst_binary_roundtrip_and_text(tmp_path):
 
     fst3 = Fst.from_text(fst.to_text())
     assert fst3.to_text() == fst.to_text()
+
+
+def test_fst_forward_unreachable_states_stay_finite(rng):
+    """Regression: states with no incoming mass produced -inf alphas, and the
+    one-hot matmul formulation turned -inf * 0 into NaN on the next frame
+    (also: the old 1e-38 floor is subnormal and flushes to zero under FTZ)."""
+    import jax.numpy as jnp
+
+    from satpu.chain.fst import Arc, Fst, fst_to_arrays
+    from satpu.chain.objf import fst_forward
+
+    f = Fst()
+    s0, s1, s2, s3 = (f.add_state() for _ in range(4))
+    f.add_arc(s0, Arc(1, 0, 0.5, s1))
+    f.add_arc(s1, Arc(2, 0, 0.3, s2))
+    f.add_arc(s2, Arc(1, 0, 0.1, s3))
+    f.set_final(s3, 0.0)
+    g = fst_to_arrays(f)
+    ll = np.asarray(rng.standard_normal((3, 3)), np.float32)
+    out = fst_forward(jnp.asarray(ll), g.arc_src, g.arc_dst, g.arc_pdf,
+                      g.arc_logprob, g.start_logprob, g.final_logprob)
+    assert np.isfinite(float(out)), out
+    # brute force: single path prob
+    expect = (-0.5 + ll[0, 0]) + (-0.3 + ll[1, 1]) + (-0.1 + ll[2, 0])
+    np.testing.assert_allclose(float(out), expect, rtol=1e-5, atol=1e-5)
