@@ -45,6 +45,7 @@ class AnonymizeOpts(cfg.Opts):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="satpu %(levelname)s: %(message)s")
+    cfg.enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", default="", help="INI config path")
     args, rest = parser.parse_known_args(argv)

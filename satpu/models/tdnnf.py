@@ -346,7 +346,9 @@ class VectorQuantizerEMA(nn.Module):
                                       (self.num_embeddings, self.embedding_dim)))
 
         flat = inputs.reshape(-1, self.embedding_dim)
-        w = emb.value
+        # checkpoint-loaded variables arrive as numpy arrays; numpy fancy
+        # indexing by a traced index array raises under jit, so lift to jnp
+        w = jnp.asarray(emb.value)
         distances = (
             jnp.sum(flat**2, axis=1, keepdims=True)
             + jnp.sum(w**2, axis=1)[None, :]

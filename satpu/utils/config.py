@@ -21,7 +21,7 @@ import json
 import os
 import re
 import sys
-from typing import Any, Dict, Type, TypeVar
+from typing import Any, Dict, Type, TypeVar, Optional
 
 _RE_VAR = re.compile(r"[$][{][:]([a-zA-Z0-9_-]+)[}]")
 _RE_INLINE_COMMENT = re.compile(r"\s+#")
@@ -156,3 +156,22 @@ def split_dict(d: Dict, n: int):
         {key: d[key] for key in keys[i * k + min(i, m) : (i + 1) * k + min(i + 1, m)]}
         for i in range(n)
     ]
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Point JAX at a persistent host-local compilation cache.
+
+    The serving/eval CLIs compile one program per padded bucket; without a
+    persistent cache every invocation pays the full set again (~5 min for
+    the 9 default buckets at full model scale on a tunneled v5e — the actual
+    device compute for a 30-minute corpus is ~2 s). Host-local (not in-repo):
+    AOT artifacts are machine/libtpu-specific.
+    """
+    import jax
+
+    path = path or os.environ.get(
+        "SATPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "satpu_jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -14,8 +14,11 @@ def _tiny_anon_checkpoint(tmp_path):
     from satpu.models.anonymizer import AnonymizationNet, AnonymizerConfig
     from satpu.models.asrbn import TDNNFNetConfig
 
+    # VQ bottleneck like the flagship B5/B6 models: the checkpoint-loaded
+    # codebook is a plain numpy array, which the VQ lookup must lift to jnp
+    # before indexing with a traced batch (round-3 serving regression)
     asrbn = dict(output_dim=16, hidden_dim=16, bottleneck_dim=8,
-                 prefinal_bottleneck_dim=8)
+                 prefinal_bottleneck_dim=8, bottleneck="vq", codebook_size=8)
     cfg = AnonymizerConfig(asrbn=TDNNFNetConfig(**asrbn), num_speakers=3, bn_dim=8)
     model = AnonymizationNet(cfg)
     wav = np.zeros((1, 16000), np.float32)
