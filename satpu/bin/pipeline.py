@@ -159,6 +159,7 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
 
     done = 0
     i = 0
+    in_flight = None
     while i < len(entries):
         batch = entries[i : i + batch_size]
         i += len(batch)
@@ -189,14 +190,25 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
             f0 = np.array(f0_only(wav_batch))  # writable copy
             for j, ut in enumerate(utids):
                 f0[j] = f0_cmvn(f0[j], source_utt2spk.get(ut, ut))
-            out = np.asarray(convert_with_f0(wav_batch, f0, tids, sub))[: len(batch)]
+            out_dev = convert_with_f0(wav_batch, f0, tids, sub)
         else:
-            out = np.asarray(convert(wav_batch, tids, sub))[: len(batch)]
-        pending.append(writer.submit(write_batch, utids, out, lens, rate))
+            out_dev = convert(wav_batch, tids, sub)
+        # one batch in flight: fetch + write the PREVIOUS batch while the
+        # device converts this one (device compute overlaps the
+        # device->host transfer and the wav writes)
+        if in_flight is not None:
+            p_utids, p_out, p_lens, p_rate, p_n = in_flight
+            pending.append(writer.submit(
+                write_batch, p_utids, np.asarray(p_out)[:p_n], p_lens, p_rate))
+        in_flight = (utids, out_dev, lens, rate, len(batch))
         done += len(batch)
         if progress_cb:
             progress_cb(done, len(entries))
 
+    if in_flight is not None:
+        p_utids, p_out, p_lens, p_rate, p_n = in_flight
+        pending.append(writer.submit(
+            write_batch, p_utids, np.asarray(p_out)[:p_n], p_lens, p_rate))
     for p in pending:
         p.result()
     writer.shutdown()

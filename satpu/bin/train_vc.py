@@ -53,6 +53,7 @@ class TrainVcOpts(cfg.Opts):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="satpu %(levelname)s: %(message)s")
+    cfg.enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="")
     args, rest = parser.parse_known_args(argv)
