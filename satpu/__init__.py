@@ -18,6 +18,16 @@ Reference parity notes cite files in /root/reference (e.g. satools/satools/...).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("SATPU_DEVICE", "").lower() == "cpu":
+    # The axon TPU plugin ignores JAX_PLATFORMS=cpu, so SATPU_DEVICE=cpu is
+    # the supported way to pin satpu CLIs to the host CPU backend (e.g. when
+    # the TPU tunnel is unavailable or for deterministic f32 runs).
+    import jax as _jax
+
+    _jax.config.update("jax_default_device", _jax.devices("cpu")[0])
+
 from . import utils  # noqa: F401
 from . import ops  # noqa: F401
 from . import models  # noqa: F401

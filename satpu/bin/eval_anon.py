@@ -48,6 +48,9 @@ class EvalOpts(cfg.Opts):
     enroll_dir: str = ""  # data dir of enrollment utterances
     trials: str = ""  # "spk utt target|nontarget" lines
     cohort_dir: str = ""
+    cohort_size: int = 400  # top-N cohort utterances (reference asnorm top-400)
+    xvector_mode: str = "chunked"  # "full" = reference batch=1 full-utterance
+                                   # extraction protocol (objf.py:228-258)
     results: str = "exp/eval"
 
 
@@ -190,14 +193,19 @@ def evaluate_asv(opts) -> dict:
     cohort_xv = None
     if opts.cohort_dir:
         cw = kaldi_data.read_wav_scp(os.path.join(opts.cohort_dir, "wav.scp"))
+        if len(cw) > opts.cohort_size:
+            logging.info("AS-norm cohort capped at %d of %d utterances "
+                         "(--cohort-size)", opts.cohort_size, len(cw))
         wavs = []
-        for utt, spec in list(cw.items())[:400]:
+        for utt, spec in list(cw.items())[: opts.cohort_size]:
             wav, _ = kaldi_data.load_wav_from_scp(spec)
             wavs.append(wav[0])
-        cohort_xv = extract_xvectors(model, variables, wavs)
+        cohort_xv = extract_xvectors(model, variables, wavs,
+                                     mode=opts.xvector_mode)
     metrics = asv_test(model, variables, enroll, trials, trial_wavs,
                        cohort_xv=cohort_xv,
-                       metric_path=os.path.join(opts.results, "metric.json"))
+                       metric_path=os.path.join(opts.results, "metric.json"),
+                       xvector_mode=opts.xvector_mode)
     logging.info("ASV %s", metrics)
     return metrics
 

@@ -101,8 +101,7 @@ def main(argv=None):
                                  merge_models)
     from ..models.asrbn import TDNNFNet, TDNNFNetConfig
     from ..utils.checkpoint import restore_like
-    from ..utils.metrics import (MetricsWriter, TensorBoardLogHandler,
-                                 profile_steps)
+    from ..utils.metrics import MetricsWriter, profile_steps
 
     os.makedirs(opts.dirname, exist_ok=True)
     den = DenominatorGraph.from_fst(Fst.read(opts.den_fst), num_pdfs=opts.num_pdfs)
@@ -209,70 +208,72 @@ def main(argv=None):
         preprocessor_schedule=preprocessor_schedule))
     valid_fn = jax.jit(make_chain_valid_step(model, den, topts))
     metrics_log = MetricsWriter(opts.dirname)
-    if metrics_log.tb is not None:
-        logging.getLogger().addHandler(TensorBoardLogHandler(metrics_log.tb))
+    metrics_log.attach_log_handler()
+    try:
 
-    # ---- resume ----
-    steps, start_epoch = 0, 0
-    last = ckpt.latest_checkpoint(opts.dirname, "trainer_")
-    if last:
-        meta, tstate = ckpt.load_checkpoint(last)
-        steps = meta.get("steps", 0)
-        start_epoch = meta.get("epoch", 0)
-        mpath = os.path.join(opts.dirname, f"{steps}.ckpt")
-        _, mstate = ckpt.load_checkpoint(mpath)
-        variables = mstate["variables"]
-        state = state.replace(
-            step=jnp.asarray(steps, jnp.int32),
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", state.batch_stats),
-            vq_stats=variables.get("vq_stats", state.vq_stats),
-            opt_state=restore_like(state.opt_state, tstate["opt_state"]),
-            ng_state=(restore_like(state.ng_state, tstate["ng_state"])
-                      if tstate.get("ng_state") else state.ng_state))
-        logging.info("resuming from %s (epoch %d, step %d)", last, start_epoch, steps)
+        # ---- resume ----
+        steps, start_epoch = 0, 0
+        last = ckpt.latest_checkpoint(opts.dirname, "trainer_")
+        if last:
+            meta, tstate = ckpt.load_checkpoint(last)
+            steps = meta.get("steps", 0)
+            start_epoch = meta.get("epoch", 0)
+            mpath = os.path.join(opts.dirname, f"{steps}.ckpt")
+            _, mstate = ckpt.load_checkpoint(mpath)
+            variables = mstate["variables"]
+            state = state.replace(
+                step=jnp.asarray(steps, jnp.int32),
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", state.batch_stats),
+                vq_stats=variables.get("vq_stats", state.vq_stats),
+                opt_state=restore_like(state.opt_state, tstate["opt_state"]),
+                ng_state=(restore_like(state.ng_state, tstate["ng_state"])
+                          if tstate.get("ng_state") else state.ng_state))
+            logging.info("resuming from %s (epoch %d, step %d)", last, start_epoch, steps)
 
-    def run_diagnostics(epoch, steps, metrics):
-        logging.info("epoch %d step %d objf %.4f (num %.3f den %.3f) lr %.5f",
-                     epoch, steps, float(metrics["chain_objf"]),
-                     float(metrics["num_logprob"]), float(metrics["den_logprob"]),
-                     float(metrics.get("lr", lr_at(steps))))
-        scal = {k: float(v) for k, v in metrics.items()}
-        if valid_ds is not None:
-            v = compute_valid_objf(valid_fn, state, valid_ds, opts.minibatch_size)
-            if v is not None:
-                scal["valid_objf"] = v
-                logging.info("  valid objf %.4f", v)
-        metrics_log.write(steps, scal, epoch=epoch)
+        def run_diagnostics(epoch, steps, metrics):
+            logging.info("epoch %d step %d objf %.4f (num %.3f den %.3f) lr %.5f",
+                         epoch, steps, float(metrics["chain_objf"]),
+                         float(metrics["num_logprob"]), float(metrics["den_logprob"]),
+                         float(metrics.get("lr", lr_at(steps))))
+            scal = {k: float(v) for k, v in metrics.items()}
+            if valid_ds is not None:
+                v = compute_valid_objf(valid_fn, state, valid_ds, opts.minibatch_size)
+                if v is not None:
+                    scal["valid_objf"] = v
+                    logging.info("  valid objf %.4f", v)
+            metrics_log.write(steps, scal, epoch=epoch)
 
-    for epoch in range(start_epoch, opts.num_epochs):
-        sampler.set_epoch(epoch)
-        with profile_steps(opts.dirname):
-            for batch_idx in sampler:
-                wavs, graphs, frames, _ = ds.load_batch(batch_idx)
-                graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
-                kw = {}
-                if spk_index is not None:
-                    wavs_utts = [spk_index.get(u, 0) for u in _]
-                    kw["spk_target"] = jnp.asarray(wavs_utts, jnp.int32)
-                state, metrics = step_fn(state, wavs, graphs, jnp.asarray(frames),
-                                         jax.random.PRNGKey(steps), **kw)
-                steps += 1
-                if steps % 4 == 0:
-                    state = state.replace(
-                        params=apply_orthonormal_constraint(state.params))
-                if steps % opts.diagnostics_interval == 0:
-                    run_diagnostics(epoch, steps, metrics)
-                if steps % opts.checkpoint_interval == 0:
-                    _save(opts, mcfg, state, steps, epoch, model_id=model_id, extra_params=extra_params)
-        _save(opts, mcfg, state, steps, epoch + 1, model_id=model_id, extra_params=extra_params)
+        for epoch in range(start_epoch, opts.num_epochs):
+            sampler.set_epoch(epoch)
+            with profile_steps(opts.dirname):
+                for batch_idx in sampler:
+                    wavs, graphs, frames, _ = ds.load_batch(batch_idx)
+                    graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
+                    kw = {}
+                    if spk_index is not None:
+                        wavs_utts = [spk_index.get(u, 0) for u in _]
+                        kw["spk_target"] = jnp.asarray(wavs_utts, jnp.int32)
+                    state, metrics = step_fn(state, wavs, graphs, jnp.asarray(frames),
+                                             jax.random.PRNGKey(steps), **kw)
+                    steps += 1
+                    if steps % 4 == 0:
+                        state = state.replace(
+                            params=apply_orthonormal_constraint(state.params))
+                    if steps % opts.diagnostics_interval == 0:
+                        run_diagnostics(epoch, steps, metrics)
+                    if steps % opts.checkpoint_interval == 0:
+                        _save(opts, mcfg, state, steps, epoch, model_id=model_id, extra_params=extra_params)
+            _save(opts, mcfg, state, steps, epoch + 1, model_id=model_id, extra_params=extra_params)
 
-    # ---- final combination (chain/model.py:347-434): average the last n
-    # checkpoints for n = 1..N, pick the best valid objf ----
-    state = final_combination(opts, mcfg, model, state, valid_fn, valid_ds,
-                              merge_models)
-    _save(opts, mcfg, state, steps, opts.num_epochs, final=True, model_id=model_id, extra_params=extra_params)
-    return 0
+        # ---- final combination (chain/model.py:347-434): average the last n
+        # checkpoints for n = 1..N, pick the best valid objf ----
+        state = final_combination(opts, mcfg, model, state, valid_fn, valid_ds,
+                                  merge_models)
+        _save(opts, mcfg, state, steps, opts.num_epochs, final=True, model_id=model_id, extra_params=extra_params)
+        return 0
+    finally:
+        metrics_log.close()
 
 
 def compute_valid_objf(valid_fn, state, valid_ds, minibatch_size, max_batches=8):

@@ -98,88 +98,90 @@ def main(argv=None):
         logging.info("init_weight_model %s: %d params transferred, %d skipped",
                      opts.init_weight_model, len(matched), len(unmatched))
 
-    from ..utils.metrics import MetricsWriter, TensorBoardLogHandler
+    from ..utils.metrics import MetricsWriter
 
     metrics_log = MetricsWriter(opts.dirname)
-    if metrics_log.tb is not None:
-        logging.getLogger().addHandler(TensorBoardLogHandler(metrics_log.tb))
+    metrics_log.attach_log_handler()
+    try:
 
-    monitor = TrainingMonitor(patience=opts.patience)
+        monitor = TrainingMonitor(patience=opts.patience)
 
-    # ---- resume (sidekit/model.py:267-303: {epoch}.pt + trainer_{epoch}.pt) ----
-    start_epoch = 0
-    last_trainer = ckpt.latest_checkpoint(opts.dirname, "trainer_")
-    if last_trainer:
-        import jax.numpy as jnp
+        # ---- resume (sidekit/model.py:267-303: {epoch}.pt + trainer_{epoch}.pt) ----
+        start_epoch = 0
+        last_trainer = ckpt.latest_checkpoint(opts.dirname, "trainer_")
+        if last_trainer:
+            import jax.numpy as jnp
 
-        meta, tstate = ckpt.load_checkpoint(last_trainer)
-        start_epoch = meta.get("epoch", -1) + 1
-        monitor.load_state_dict(meta["monitor"])
-        mmeta, mstate = ckpt.load_checkpoint(
-            os.path.join(opts.dirname, f"{meta['epoch']}.ckpt"))
-        variables = mstate.get("variables", mstate)
-        state = dataclasses.replace(
-            state,
-            step=jnp.asarray(meta.get("step", 0), jnp.int32),
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", state.batch_stats),
-            opt_state=ckpt.restore_like(state.opt_state, tstate["opt_state"]))
-        logging.info("resuming from %s (epoch %d, best EER %.2f%% @ %d)",
-                     last_trainer, start_epoch, monitor.best_eer * 100,
-                     monitor.best_epoch)
-    sampler = SideSampler(side.chunk_speakers, len(speakers),
-                          opts.examples_per_speaker, opts.samples_per_speaker,
-                          opts.minibatch_size, seed=opts.seed)
-    epoch_key = jax.random.PRNGKey(opts.seed + 1)
-    for epoch in range(start_epoch, opts.epochs):
-        sampler.set_epoch(epoch)
-        losses = []
-        step_key = jax.random.fold_in(epoch_key, epoch)
-        for wav, spk in side.batches(sampler, opts.minibatch_size):
-            # fresh key per batch: one key per epoch made every SpecAugment
-            # mask identical across the epoch's steps (round-1 weak #10)
-            step_key, sub = jax.random.split(step_key)
-            state, metrics = step(state, wav, spk, sub)
-            losses.append(float(metrics["loss"]))
-        # quick validation on a slice of chunks
-        val_idx = list(range(0, len(side), max(len(side) // 64, 1)))[:64]
-        wavs = [side[i][0] for i in val_idx]
-        labels = np.asarray([side[i][1] for i in val_idx])
-        from ..sidekit.trainer import extract_xvectors
+            meta, tstate = ckpt.load_checkpoint(last_trainer)
+            start_epoch = meta.get("epoch", -1) + 1
+            monitor.load_state_dict(meta["monitor"])
+            mmeta, mstate = ckpt.load_checkpoint(
+                os.path.join(opts.dirname, f"{meta['epoch']}.ckpt"))
+            variables = mstate.get("variables", mstate)
+            state = dataclasses.replace(
+                state,
+                step=jnp.asarray(meta.get("step", 0), jnp.int32),
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", state.batch_stats),
+                opt_state=ckpt.restore_like(state.opt_state, tstate["opt_state"]))
+            logging.info("resuming from %s (epoch %d, best EER %.2f%% @ %d)",
+                         last_trainer, start_epoch, monitor.best_eer * 100,
+                         monitor.best_epoch)
+        sampler = SideSampler(side.chunk_speakers, len(speakers),
+                              opts.examples_per_speaker, opts.samples_per_speaker,
+                              opts.minibatch_size, seed=opts.seed)
+        epoch_key = jax.random.PRNGKey(opts.seed + 1)
+        for epoch in range(start_epoch, opts.epochs):
+            sampler.set_epoch(epoch)
+            losses = []
+            step_key = jax.random.fold_in(epoch_key, epoch)
+            for wav, spk in side.batches(sampler, opts.minibatch_size):
+                # fresh key per batch: one key per epoch made every SpecAugment
+                # mask identical across the epoch's steps (round-1 weak #10)
+                step_key, sub = jax.random.split(step_key)
+                state, metrics = step(state, wav, spk, sub)
+                losses.append(float(metrics["loss"]))
+            # quick validation on a slice of chunks
+            val_idx = list(range(0, len(side), max(len(side) // 64, 1)))[:64]
+            wavs = [side[i][0] for i in val_idx]
+            labels = np.asarray([side[i][1] for i in val_idx])
+            from ..sidekit.trainer import extract_xvectors
 
-        emb = extract_xvectors(model, {"params": state.params,
-                                       "batch_stats": state.batch_stats}, wavs)
-        eer = validation_eer(emb, labels)
-        is_best = monitor.update(epoch, eer)
-        metrics_log.write(int(state.step),
-                          {"loss": float(np.mean(losses)) if losses else float("nan"),
-                           "val_eer": eer}, epoch=epoch)
-        logging.info("epoch %d loss %.3f val-EER %.2f%%%s", epoch,
-                     float(np.mean(losses)) if losses else float("nan"),
-                     eer * 100, " (best)" if is_best else "")
-        path = os.path.join(opts.dirname, f"{epoch}.ckpt")
-        infer_helper.save_model(path, "asv_xvector",
-                                dataclasses.asdict(xcfg) | {},
-                                {"params": state.params, "batch_stats": state.batch_stats},
-                                extra_meta={"speakers": speakers, "epoch": epoch})
-        ckpt.save_checkpoint(
-            os.path.join(opts.dirname, f"trainer_{epoch}.ckpt"),
-            {"epoch": epoch, "step": int(state.step),
-             "monitor": monitor.state_dict()},
-            {"opt_state": state.opt_state})
-        if is_best:
-            best = os.path.join(opts.dirname, "best.ckpt")
-            if os.path.islink(best) or os.path.exists(best):
-                os.remove(best)
-            os.symlink(os.path.basename(path), best)
-        ckpt.checkpoint_gc(opts.dirname, "", keep_last=10,
-                           protected=[os.path.join(opts.dirname, "best.ckpt")])
-        ckpt.checkpoint_gc(opts.dirname, "trainer_", keep_last=2)
-        if monitor.should_stop:
-            logging.info("early stop at epoch %d (best %.2f%% @ %d)", epoch,
-                         monitor.best_eer * 100, monitor.best_epoch)
-            break
-    return 0
+            emb = extract_xvectors(model, {"params": state.params,
+                                           "batch_stats": state.batch_stats}, wavs)
+            eer = validation_eer(emb, labels)
+            is_best = monitor.update(epoch, eer)
+            metrics_log.write(int(state.step),
+                              {"loss": float(np.mean(losses)) if losses else float("nan"),
+                               "val_eer": eer}, epoch=epoch)
+            logging.info("epoch %d loss %.3f val-EER %.2f%%%s", epoch,
+                         float(np.mean(losses)) if losses else float("nan"),
+                         eer * 100, " (best)" if is_best else "")
+            path = os.path.join(opts.dirname, f"{epoch}.ckpt")
+            infer_helper.save_model(path, "asv_xvector",
+                                    dataclasses.asdict(xcfg) | {},
+                                    {"params": state.params, "batch_stats": state.batch_stats},
+                                    extra_meta={"speakers": speakers, "epoch": epoch})
+            ckpt.save_checkpoint(
+                os.path.join(opts.dirname, f"trainer_{epoch}.ckpt"),
+                {"epoch": epoch, "step": int(state.step),
+                 "monitor": monitor.state_dict()},
+                {"opt_state": state.opt_state})
+            if is_best:
+                best = os.path.join(opts.dirname, "best.ckpt")
+                if os.path.islink(best) or os.path.exists(best):
+                    os.remove(best)
+                os.symlink(os.path.basename(path), best)
+            ckpt.checkpoint_gc(opts.dirname, "", keep_last=10,
+                               protected=[os.path.join(opts.dirname, "best.ckpt")])
+            ckpt.checkpoint_gc(opts.dirname, "trainer_", keep_last=2)
+            if monitor.should_stop:
+                logging.info("early stop at epoch %d (best %.2f%% @ %d)", epoch,
+                             monitor.best_eer * 100, monitor.best_epoch)
+                break
+        return 0
+    finally:
+        metrics_log.close()
 
 
 if __name__ == "__main__":

@@ -79,8 +79,7 @@ def main(argv=None):
     from ..models.anonymizer import AnonymizationNet, AnonymizerConfig
     from ..models.asrbn import TDNNFNetConfig
     from ..utils import kaldi_data
-    from ..utils.metrics import (MetricsWriter, TensorBoardLogHandler,
-                                 profile_steps)
+    from ..utils.metrics import MetricsWriter, profile_steps
 
     os.makedirs(opts.dirname, exist_ok=True)
 
@@ -219,64 +218,66 @@ def main(argv=None):
                      last, start_epoch, steps, best_val)
 
     metrics_log = MetricsWriter(opts.dirname)
-    if metrics_log.tb is not None:
-        logging.getLogger().addHandler(TensorBoardLogHandler(metrics_log.tb))
+    metrics_log.attach_log_handler()
+    try:
 
-    def validate_and_save(epoch, steps, best_val):
-        val_err = None
-        if dev_ds is not None:
-            errs = [float(eval_fn(state.params_g, state.frozen_g, b))
-                    for b in dev_ds.batches(opts.minibatch_size, shuffle=False)]
-            if errs:
-                val_err = sum(errs) / len(errs)
-                metrics_log.write(steps, "val_mel_error", val_err, epoch=epoch)
-                logging.info("validation mel error: %.4f (best %.4f)", val_err,
-                             best_val)
-                # tensorboard audio + spectrogram samples from the first dev
-                # batch (reference hifigan/model.py:481-502)
-                if metrics_log.tb is not None:
-                    b0 = next(dev_ds.batches(opts.minibatch_size, shuffle=False))
-                    y_gen, mel_gen, mel_real = sample_fn(state.params_g,
-                                                         state.frozen_g, b0)
-                    metrics_log.audio(steps, "dev/y_gen", np.asarray(y_gen[0]),
-                                      h.sampling_rate)
-                    metrics_log.audio(steps, "dev/y_real",
-                                      np.asarray(b0["audio"][0]), h.sampling_rate)
-                    metrics_log.image(steps, "dev/mel_gen", np.asarray(mel_gen[0]))
-                    metrics_log.image(steps, "dev/mel_real", np.asarray(mel_real[0]))
-        _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val,
-              f0_cmvn)
-        if val_err is not None and val_err < best_val:
-            best_val = val_err
-            best = os.path.join(opts.dirname, "g_best.ckpt")
-            if os.path.lexists(best):
-                os.remove(best)
-            os.symlink(f"g_{steps}.ckpt", best)
-        return best_val
+        def validate_and_save(epoch, steps, best_val):
+            val_err = None
+            if dev_ds is not None:
+                errs = [float(eval_fn(state.params_g, state.frozen_g, b))
+                        for b in dev_ds.batches(opts.minibatch_size, shuffle=False)]
+                if errs:
+                    val_err = sum(errs) / len(errs)
+                    metrics_log.write(steps, "val_mel_error", val_err, epoch=epoch)
+                    logging.info("validation mel error: %.4f (best %.4f)", val_err,
+                                 best_val)
+                    # tensorboard audio + spectrogram samples from the first dev
+                    # batch (reference hifigan/model.py:481-502)
+                    if metrics_log.tb is not None:
+                        b0 = next(dev_ds.batches(opts.minibatch_size, shuffle=False))
+                        y_gen, mel_gen, mel_real = sample_fn(state.params_g,
+                                                             state.frozen_g, b0)
+                        metrics_log.audio(steps, "dev/y_gen", np.asarray(y_gen[0]),
+                                          h.sampling_rate)
+                        metrics_log.audio(steps, "dev/y_real",
+                                          np.asarray(b0["audio"][0]), h.sampling_rate)
+                        metrics_log.image(steps, "dev/mel_gen", np.asarray(mel_gen[0]))
+                        metrics_log.image(steps, "dev/mel_real", np.asarray(mel_real[0]))
+            _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val,
+                  f0_cmvn)
+            if val_err is not None and val_err < best_val:
+                best_val = val_err
+                best = os.path.join(opts.dirname, "g_best.ckpt")
+                if os.path.lexists(best):
+                    os.remove(best)
+                os.symlink(f"g_{steps}.ckpt", best)
+            return best_val
 
-    for epoch in range(start_epoch, opts.training_epochs):
-        with profile_steps(opts.dirname):
-            for batch in ds.batches(local_bs, epoch=epoch,
-                                    process_index=jax.process_index(),
-                                    process_count=nproc):
-                t0 = time.time()
-                if mesh is not None:
-                    batch = multihost.global_batch_from_host_local(mesh, batch)
-                state, metrics = step_fn(state, batch)
-                steps += 1
-                if steps % 50 == 0:
-                    logging.info(
-                        "Epoch %d Steps %d Gen Loss %.3f Mel err %.3f s/b %.3f",
-                        epoch + 1, steps, float(metrics["loss_gen_all"]),
-                        float(metrics["mel_spec_error"]), time.time() - t0)
-                    metrics_log.write(steps, {k: float(v) for k, v in metrics.items()},
-                                      epoch=epoch)
-                if steps % opts.checkpoint_interval == 0:
-                    best_val = validate_and_save(epoch, steps, best_val)
-        state = state.replace(epoch=state.epoch + 1)
-        best_val = validate_and_save(epoch + 1, steps, best_val)
-    logging.info("training done at %d steps", steps)
-    return 0
+        for epoch in range(start_epoch, opts.training_epochs):
+            with profile_steps(opts.dirname):
+                for batch in ds.batches(local_bs, epoch=epoch,
+                                        process_index=jax.process_index(),
+                                        process_count=nproc):
+                    t0 = time.time()
+                    if mesh is not None:
+                        batch = multihost.global_batch_from_host_local(mesh, batch)
+                    state, metrics = step_fn(state, batch)
+                    steps += 1
+                    if steps % 50 == 0:
+                        logging.info(
+                            "Epoch %d Steps %d Gen Loss %.3f Mel err %.3f s/b %.3f",
+                            epoch + 1, steps, float(metrics["loss_gen_all"]),
+                            float(metrics["mel_spec_error"]), time.time() - t0)
+                        metrics_log.write(steps, {k: float(v) for k, v in metrics.items()},
+                                          epoch=epoch)
+                    if steps % opts.checkpoint_interval == 0:
+                        best_val = validate_and_save(epoch, steps, best_val)
+            state = state.replace(epoch=state.epoch + 1)
+            best_val = validate_and_save(epoch + 1, steps, best_val)
+        logging.info("training done at %d steps", steps)
+        return 0
+    finally:
+        metrics_log.close()
 
 
 def _save(opts, model, anon_cfg, state, epoch, steps, speakers, best_val,

@@ -94,25 +94,31 @@ def _update_subspace(X: jnp.ndarray, state: NGState) -> NGState:
     R = W.shape[0]
     eta = jnp.clip(N / state.num_samples_history, 1e-3, 0.9)
 
-    P = jnp.matmul(X, W.T)                      # [N, R]
-    J = jnp.matmul(P.T, X) / N                  # [R, D] = W (X^T X)/N
+    # Basis construction runs at HIGHEST matmul precision: on TPU the default
+    # single-pass bf16 degrades W's row orthonormality to ~0.5-1% while
+    # _precondition's Woodbury form assumes orthonormal W; the shapes are
+    # small fixed [R,D]/[R,R], so full precision is effectively free.
+    hi = jax.lax.Precision.HIGHEST
+    P = jnp.matmul(X, W.T, precision=hi)        # [N, R]
+    J = jnp.matmul(P.T, X, precision=hi) / N    # [R, D] = W (X^T X)/N
     # orthonormal complement of rowspan(J) against W
-    J_perp = J - jnp.matmul(jnp.matmul(J, W.T), W)
-    Gp = jnp.matmul(J_perp, J_perp.T)           # [R, R]
+    J_perp = J - jnp.matmul(jnp.matmul(J, W.T, precision=hi), W, precision=hi)
+    Gp = jnp.matmul(J_perp, J_perp.T, precision=hi)  # [R, R]
     e, Ug = jnp.linalg.eigh(Gp)
     eps = jnp.maximum(jnp.max(e), 1e-20) * 1e-8
     inv_sqrt = jnp.where(e > eps, 1.0 / jnp.sqrt(jnp.maximum(e, eps)), 0.0)
-    Q = jnp.matmul((Ug * inv_sqrt[None, :]).T, J_perp)  # [R, D] orthonormal-or-zero rows
+    Q = jnp.matmul((Ug * inv_sqrt[None, :]).T, J_perp,
+                   precision=hi)                # [R, D] orthonormal-or-zero rows
     B = jnp.concatenate([W, Q], axis=0)         # [2R, D]
 
-    C = jnp.matmul(X, B.T)                      # [N, 2R]
-    M = (eta / N) * jnp.matmul(C.T, C)
+    C = jnp.matmul(X, B.T, precision=hi)        # [N, 2R]
+    M = (eta / N) * jnp.matmul(C.T, C, precision=hi)
     M = M + (1.0 - eta) * jnp.diag(jnp.concatenate([d, jnp.full((R,), rho)]))
 
     lam, U = jnp.linalg.eigh(M)                 # ascending
     idx = jnp.argsort(-lam)[:R]
     d_new = jnp.maximum(lam[idx], 1e-10)
-    W_new = jnp.matmul(U[:, idx].T, B)          # [R, D] orthonormal rows
+    W_new = jnp.matmul(U[:, idx].T, B, precision=hi)  # [R, D] orthonormal rows
 
     tr_F = (1.0 - eta) * (jnp.sum(d) + rho * (D - R)) + eta * jnp.sum(X * X) / N
     rho_new = jnp.maximum((tr_F - jnp.sum(d_new)) / jnp.maximum(D - R, 1), 1e-10)

@@ -126,13 +126,46 @@ def import_reference_checkpoint(torch_ckpt_path: str, out_path: str,
     blob = torch.load(torch_ckpt_path, map_location="cpu", weights_only=False)
     sd = blob.get("base_model_state_dict", blob)
     params_meta = blob.get("base_model_params", {})
+
+    def _asrbn_params(prefix: str = "") -> Dict[str, Any]:
+        """Infer TDNNFNetConfig build params from state-dict shapes so the
+        rebuilt module tree matches any reference tuning variant (output_dim,
+        VQ codebook size, bottleneck dim)."""
+        p: Dict[str, Any] = {}
+        w = sd.get(prefix + "chain_output.weight")
+        if w is not None:
+            p["output_dim"] = int(w.shape[0])
+        vq = sd.get(prefix + "tdnnfs.20.tdnn.bottleneck_func.quant._embedding.weight")
+        if vq is not None:
+            p["bottleneck"] = "vq"
+            p["codebook_size"] = int(vq.shape[0])
+        return p
+
     if kind == "anonymizer":
         from .models.anonymizer import convert_anonymizer_state_dict
 
         variables = convert_anonymizer_state_dict(sd)
         utt2spk = params_meta.get("utt2spk", {})
         spk = sorted(set(utt2spk.values())) if utt2spk else []
-        build_params = {"num_speakers": len(spk) or 247}
+        num_speakers = len(spk)
+        pre = sd.get("hifigan.conv_pre.weight_v")
+        bn_dim = None
+        # the BN feature is the inner bottleneck of tdnnfs[-2]
+        # (return_bottleneck=True, tuning/tdnnf.py:175): linearA's input dim
+        bnw = sd.get("bn_extractor.tdnnfs.20.tdnn.linearA.weight")
+        if bnw is not None:
+            bn_dim = int(bnw.shape[1])
+        build_params: Dict[str, Any] = {}
+        if pre is not None:
+            # input_dim = bn_dim + 1 (f0) + num_speakers (tuning/hifigan.py:45)
+            num_speakers = int(pre.shape[1]) - (bn_dim or 256) - 1
+            build_params["upsample_initial_channel"] = int(pre.shape[0])
+        build_params["num_speakers"] = num_speakers or 247
+        if bn_dim is not None:
+            build_params["bn_dim"] = bn_dim
+        asrbn = _asrbn_params("bn_extractor.")
+        if asrbn:
+            build_params["asrbn"] = asrbn
         extra = {"speakers": spk}
         model_id = "anonymizer_tdnnf_hifigan"
     elif kind == "asrbn":
@@ -140,6 +173,7 @@ def import_reference_checkpoint(torch_ckpt_path: str, out_path: str,
 
         variables = convert_asrbn(sd)
         build_params = {"output_dim": params_meta.get("output_dim", 3280)}
+        build_params.update(_asrbn_params())
         extra = {}
         model_id = "asrbn_tdnnf"
     else:

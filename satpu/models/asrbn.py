@@ -315,10 +315,26 @@ def bn_num_frames(num_samples: int) -> int:
     return (fbank_num_frames(num_samples) + 1) // 2
 
 
-def output_num_frames(num_samples: int) -> int:
-    """Chain-head output frames (net subsampling /3; exact empirical form of
-    the /2 then /1.5 unfold arithmetic)."""
-    return max((fbank_num_frames(num_samples) - 2) // 3, 0)
+def output_num_frames(num_samples: int,
+                      cfg: "TDNNFNetConfig" = None) -> int:
+    """Chain-head output frames: exact per-layer simulation of the unfold
+    splicing arithmetic (splice_frames nwin = (T*D - c*D)//int(s*D) + 1 with
+    replicate padding before each stage), validated frame-exact against the
+    reference net over a dense length sweep (a closed form fails for lengths
+    where the /1.5 stagger straddles a frame boundary)."""
+    c_ = cfg or TDNNFNetConfig()
+    F = fbank_num_frames(num_samples)
+    ks, ss = list(c_.kernel_size_list), list(c_.subsampling_factor_list)
+    ksa, ssa = list(c_.kernel_size_list_after), list(c_.subsampling_factor_list_after)
+    F += 2 * (get_padding(ks, ss) // 2)
+    D = c_.num_mel_bins
+    for k, s in zip(ks, ss):
+        F = (F * D - k * D) // int(s * D) + 1
+        D = c_.hidden_dim
+    F += 2 * (get_padding(ksa, ssa) // 2)
+    for k, s in zip(ksa, ssa):
+        F = (F * D - k * D) // int(s * D) + 1
+    return max(F, 0)
 
 
 def f0_num_frames(num_samples: int) -> int:

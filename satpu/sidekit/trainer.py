@@ -147,20 +147,25 @@ def asv_test(model, variables, enroll: Dict[str, List[np.ndarray]],
              trials: List[Tuple[str, str, bool]],
              trial_wavs: Dict[str, np.ndarray],
              cohort_xv: Optional[np.ndarray] = None,
-             metric_path: Optional[str] = None) -> Dict[str, float]:
+             metric_path: Optional[str] = None,
+             xvector_mode: str = "chunked") -> Dict[str, float]:
     """Full trial evaluation: enroll spk-means, cosine scoring, EER/CI,
     linkability, min-Cllr (+ AS-norm variants when a cohort is given).
 
     enroll: {spk: [wav, ...]}; trials: [(spk, utt, is_target)];
-    trial_wavs: {utt: wav}.
+    trial_wavs: {utt: wav}.  xvector_mode="full" reproduces the reference's
+    full-utterance batch=1 extraction protocol (objf.py:228-258) exactly;
+    "chunked" (default) is the fast single-compiled-shape variant.
     """
     spk_xv = {}
     for spk, wavs in enroll.items():
-        xv = extract_xvectors(model, variables, wavs)
+        xv = extract_xvectors(model, variables, wavs, mode=xvector_mode)
         mean = xv.mean(axis=0)
         spk_xv[spk] = mean / np.maximum(np.linalg.norm(mean), 1e-12)
     utts = list(trial_wavs.keys())
-    utt_xv_arr = extract_xvectors(model, variables, [trial_wavs[u] for u in utts])
+    utt_xv_arr = extract_xvectors(model, variables,
+                                  [trial_wavs[u] for u in utts],
+                                  mode=xvector_mode)
     utt_xv = {u: v for u, v in zip(utts, utt_xv_arr)}
 
     e1 = np.stack([spk_xv[s] for s, _, _ in trials])

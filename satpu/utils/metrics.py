@@ -174,7 +174,25 @@ class MetricsWriter:
         if self.tb is not None:
             self.tb.image(step, tag, np.asarray(array))
 
+    def attach_log_handler(self) -> None:
+        """Mirror root-logger records into this writer's TB dir. Detaches any
+        TensorBoardLogHandler left behind by a previous in-process driver
+        invocation (repeated main() calls must not accumulate handlers that
+        write into stale experiments' event files)."""
+        root = logging.getLogger()
+        for h in [h for h in root.handlers
+                  if isinstance(h, TensorBoardLogHandler)]:
+            root.removeHandler(h)
+        self._log_handler: Optional[TensorBoardLogHandler] = None
+        if self.tb is not None:
+            self._log_handler = TensorBoardLogHandler(self.tb)
+            root.addHandler(self._log_handler)
+
     def close(self) -> None:
+        handler = getattr(self, "_log_handler", None)
+        if handler is not None:
+            logging.getLogger().removeHandler(handler)
+            self._log_handler = None
         self._fh.close()
         if self.tb is not None:
             self.tb.close()

@@ -1,0 +1,218 @@
+"""Assembled-pipeline goldens (round-2 VERDICT #1/#2).
+
+Module goldens (TDNNF, CoreHifiGan, YAAPT, CMVN) each compare one layer in
+isolation; these tests exercise the WHOLE serving assembly with one set of
+converted weights:
+
+1. A random-init reference-format ``final.pt`` (tuning/hifigan.py Net layout:
+   ``bn_extractor.*`` + ``hifigan.*`` keys + ``base_model_params.utt2spk``)
+   goes through ``import_reference_checkpoint`` and the resulting satpu
+   ``convert()`` must match the torch composition glue
+   (tuning/hifigan.py:83-122 _forward/convert: UttCMVN f0 norm ->
+   nearest-interp -> concat[bn, f0, spk one-hot] -> CoreHifiGan) at waveform
+   level.  Both sides consume the same (satpu-YAAPT) f0 track - YAAPT itself
+   has its own golden suite (tests/test_yaapt.py).
+
+2. The eval_anon bucketed/padded batched loglikes path must match the
+   reference's per-utterance batch=1 ``ChainModel.infer``
+   (chain/model.py:269-331) after the output_num_frames trim.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+import conftest as helpers
+
+
+def _speech_like(rng, n, t, sr=16000):
+    """Harmonic signals with wandering f0 + noise: enough voiced structure for
+    YAAPT to produce a nontrivial track."""
+    out = np.zeros((n, t), np.float32)
+    tt = np.arange(t) / sr
+    for i in range(n):
+        f0 = 110.0 + 40.0 * i + 20.0 * np.sin(2 * np.pi * 0.7 * tt + i)
+        phase = 2 * np.pi * np.cumsum(f0) / sr
+        sig = np.zeros(t)
+        for h, a in [(1, 1.0), (2, 0.6), (3, 0.35), (4, 0.2)]:
+            sig += a * np.sin(h * phase)
+        sig *= 0.25 + 0.2 * np.sin(2 * np.pi * 1.3 * tt)  # amplitude mod
+        sig += 0.01 * rng.standard_normal(t)
+        out[i] = (0.5 * sig / np.max(np.abs(sig))).astype(np.float32)
+    return out
+
+
+def _make_reference_final_pt(tmp_path, num_speakers=4, vq=48, output_dim=128):
+    """Random-init reference modules assembled exactly as tuning/hifigan.py
+    names them, saved in the reference checkpoint format
+    (chain/model.py:442-460 / hifigan/model.py:142-160)."""
+    import torch
+
+    from test_asrbn_net import _build_reference_net
+    from test_hifigan import _ref_hifigan
+
+    tnet_bn = _build_reference_net(output_dim=output_dim, vq=vq)
+    _, archi = _ref_hifigan()
+    torch.manual_seed(3)
+    tgen = archi.CoreHifiGan(
+        imput_dim=256 + 1 + num_speakers,
+        upsample_rates=[5, 4, 4, 2, 2],
+        upsample_kernel_sizes=[11, 8, 8, 4, 4],
+        upsample_initial_channel=128,
+    )
+    tgen.eval()
+
+    sd = {}
+    for k, v in tnet_bn.state_dict().items():
+        sd["bn_extractor." + k] = v
+    for k, v in tgen.state_dict().items():
+        sd["hifigan." + k] = v
+    utt2spk = {f"utt{i}": f"spk{i % num_speakers}" for i in range(2 * num_speakers)}
+    blob = {"base_model_state_dict": sd,
+            "base_model_params": {"utt2spk": utt2spk}}
+    path = str(tmp_path / "final.pt")
+    torch.save(blob, path)
+    return path, tnet_bn, tgen
+
+
+def test_assembled_convert_matches_reference(tmp_path, rng):
+    import torch
+    import torch.nn.functional as F
+
+    from satpu import infer_helper
+
+    S = 4
+    pt_path, tnet_bn, tgen = _make_reference_final_pt(tmp_path, num_speakers=S)
+    # (after _build_reference_net has installed the kaldiio stub)
+    ref_cmvn = helpers.reference_module(
+        "ref_cmvn", path="/root/reference/satools/satools/cmvn.py")
+    ckpt_path = infer_helper.import_reference_checkpoint(
+        pt_path, str(tmp_path / "final.ckpt"), kind="anonymizer")
+    model, variables, meta = infer_helper.load_model(ckpt_path)
+
+    # the importer must have recovered the architecture from the shapes
+    assert meta["build_params"]["num_speakers"] == S
+    assert meta["build_params"]["upsample_initial_channel"] == 128
+    assert meta["build_params"]["asrbn"]["output_dim"] == 128
+    assert meta["build_params"]["asrbn"]["codebook_size"] == 48
+    assert len(meta["speakers"]) == S
+
+    wav = _speech_like(rng, 2, 32000)
+    f0 = np.asarray(model.get_f0(wav), np.float32)  # satpu YAAPT, both sides
+    tids = np.asarray([1, 3], np.int32)
+
+    # ---- torch side: the reference _forward glue (tuning/hifigan.py:83-102)
+    wav_t = torch.from_numpy(wav.copy())
+    f0_t = torch.from_numpy(f0.copy())
+    with torch.no_grad():
+        bn = tnet_bn.extract_bn(wav_t).permute(0, 2, 1)  # [B, 256, T_bn]
+        f0n = ref_cmvn.UttCMVN(var_norm=True, keep_zeros=True)(f0_t)
+        f0n = f0n.unsqueeze(0).permute(1, 0, 2)  # [B, 1, T_f0]
+        f0_inter = F.interpolate(f0n, bn.shape[-1])
+        x = torch.cat([bn, f0_inter], dim=1)
+        spk = F.one_hot(torch.from_numpy(tids.astype(np.int64)),
+                        num_classes=S).unsqueeze(2).to(torch.float32)
+        spk_inter = F.interpolate(spk, x.shape[-1])
+        x = torch.cat([x, spk_inter], dim=1)
+        ref_wav, _ = tgen(x)
+    ref_wav = ref_wav.numpy()[:, 0, :]  # [B, T_out]
+
+    # ---- satpu side: the full fused convert graph
+    out = np.asarray(model.apply(variables, wav, f0, tids, method=model.convert))
+
+    assert out.shape == ref_wav.shape, (out.shape, ref_wav.shape)
+    np.testing.assert_allclose(out, ref_wav, rtol=1e-3, atol=2e-3)
+    # tanh output: also require close agreement in energy
+    assert abs(np.std(out) - np.std(ref_wav)) < 1e-3
+
+
+def test_assembled_convert_f0_transformation_option_args(tmp_path, rng):
+    """option_args f0 re-parameterization at load time (the reference's
+    "tag+f0-transformation=quant_16" mechanism, hubconf.py:32-44) must change
+    the conditioning exactly like quantizing the normalized f0 by hand."""
+    from satpu import infer_helper
+    from satpu.models.hifigan import apply_f0_transformation
+    from satpu.ops.cmvn import utt_cmvn_keep_zeros
+
+    S = 4
+    pt_path, _, _ = _make_reference_final_pt(tmp_path, num_speakers=S)
+    ckpt_path = infer_helper.import_reference_checkpoint(
+        pt_path, str(tmp_path / "final.ckpt"), kind="anonymizer")
+    model_q, variables, _ = infer_helper.load_model(
+        ckpt_path, option_args={"f0_transformation": "quant_16"})
+    model_p, _, _ = infer_helper.load_model(ckpt_path)
+
+    wav = _speech_like(rng, 1, 32000)
+    f0 = np.asarray(model_p.get_f0(wav), np.float32)
+    tids = np.asarray([2], np.int32)
+
+    out_q = np.asarray(model_q.apply(variables, wav, f0, tids,
+                                     method=model_q.convert))
+    # plain model fed the pre-quantized *normalized* f0 with norm disabled
+    import dataclasses
+
+    from satpu.models.anonymizer import AnonymizationNet
+
+    f0n = utt_cmvn_keep_zeros(f0, var_norm=True)
+    f0q = np.asarray(apply_f0_transformation(f0n[:, None, :], "quant_16"))[:, 0, :]
+    model_raw = AnonymizationNet(
+        dataclasses.replace(model_p.cfg, f0_norm="none"))
+    out_manual = np.asarray(model_raw.apply(variables, wav, f0q, tids,
+                                            method=model_raw.convert))
+    np.testing.assert_allclose(out_q, out_manual, rtol=1e-5, atol=1e-6)
+    # sanity: quantization really changed the f0 conditioning (a random-init
+    # generator attenuates a 1/32-max perturbation of one input channel to
+    # ~1e-6 at the waveform, so assert on the conditioning, not the audio)
+    assert np.max(np.abs(np.asarray(f0q) - np.asarray(f0n))) > 0.01
+    out_p = np.asarray(model_p.apply(variables, wav, f0, tids,
+                                     method=model_p.convert))
+    assert np.max(np.abs(out_q - out_p)) > 0.0
+
+
+def test_bucketed_loglikes_match_reference_infer(tmp_path, rng):
+    """eval_anon's padded-bucket batched loglikes == the reference's
+    per-utterance batch=1 ChainModel.infer (chain/model.py:269-331) after the
+    output_num_frames trim."""
+    import torch
+
+    from satpu import infer_helper
+    from satpu.models.asrbn import output_num_frames
+    from satpu.bin.pipeline import DEFAULT_BUCKETS, bucket_for
+    from test_asrbn_net import _build_reference_net
+
+    tnet = _build_reference_net(output_dim=64, vq=0)
+    blob = {"base_model_state_dict": tnet.state_dict(),
+            "base_model_params": {"output_dim": 64}}
+    pt_path = str(tmp_path / "asr_final.pt")
+    torch.save(blob, pt_path)
+    ckpt_path = infer_helper.import_reference_checkpoint(
+        pt_path, str(tmp_path / "asr_final.ckpt"), kind="asrbn")
+    model, variables, meta = infer_helper.load_model(ckpt_path)
+    assert meta["build_params"]["output_dim"] == 64
+
+    lengths = [17930, 24000, 32000]
+    wavs = [(_speech_like(rng, 1, n))[0] for n in lengths]
+
+    # reference protocol: one utterance at a time, true length
+    ref = []
+    with torch.no_grad():
+        for w in wavs:
+            ll, _ = tnet(torch.from_numpy(w[None, :].copy()))
+            ref.append(ll.numpy()[0])
+
+    # satpu protocol: pad to bucket, batch, trim to output_num_frames
+    import jax
+
+    apply = jax.jit(lambda v, w: model.apply(v, w, train=False)[0])
+    bucket = max(bucket_for(len(w), DEFAULT_BUCKETS) for w in wavs)
+    batch = np.zeros((len(wavs), bucket), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, : len(w)] = w
+    out = np.asarray(apply(variables, batch))
+    for i, w in enumerate(wavs):
+        n = output_num_frames(len(w))
+        got = out[i, :n]
+        assert got.shape == ref[i].shape, (got.shape, ref[i].shape)
+        np.testing.assert_allclose(got, ref[i], rtol=1e-3, atol=5e-3)
