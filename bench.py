@@ -19,10 +19,14 @@ Measurement notes (device traces on a v5e chip):
   metric is device throughput, not PCIe/tunnel transfer time.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
-driver north-star is >=10x a reference GPU real-time factor per chip. We use
-60 audio-sec/sec as the assumed reference-GPU anonymize RTF (the reference
-pipeline is YAAPT-CPU-bound at roughly real-time x cores; 60x/GPU-slot is a
-generous estimate), so vs_baseline = RTF / 60.
+driver north-star is >=10x a reference GPU real-time factor per chip. The
+denominator is MEASURED (bench_reference.py, committed BENCH_REF.json): the
+reference serving pipeline computes YAAPT F0 on CPU in DataLoader workers
+(bin/pipeline.py:107,175), single-thread per utterance (yaapt.py:27), so a
+reference GPU slot is F0-bound at data_loader_nj * yaapt_rtf_per_core =
+5 * 15.4 = 77.1 audio-sec/sec (measured on this host's core; published GPU
+HiFi-GAN RTFs are far above that, so the F0 ceiling binds).
+vs_baseline = RTF / ref_gpu_slot_rtf_f0_bound.
 """
 import json
 import os
@@ -38,7 +42,18 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/satpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import numpy as np
 
-ASSUMED_REF_GPU_RTF = 60.0
+def _ref_denominator() -> float:
+    """Measured reference GPU-slot RTF (bench_reference.py); falls back to the
+    round-1 assumption if BENCH_REF.json is missing."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["ref_gpu_slot_rtf_f0_bound"])
+    except (OSError, KeyError, ValueError):
+        return 60.0
+
+
+REF_GPU_RTF = _ref_denominator()
 
 
 def main():
@@ -121,7 +136,7 @@ def main():
         "metric": "anonymize_throughput",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(rtf / ASSUMED_REF_GPU_RTF, 3),
+        "vs_baseline": round(rtf / REF_GPU_RTF, 3),
     }))
 
 
