@@ -40,6 +40,9 @@ class EvalOpts(cfg.Opts):
     decode_lm: str = ""  # the decode graph's ARPA, subtracted when rescoring
     lm_scale: float = 1.0
     nbest: int = 100
+    # "exact" = full lattice x ARPA composition (kaldi ConstArpa semantics);
+    # "nbest" = unique-word-sequence N-best approximation (faster)
+    rescore_mode: str = "exact"
     write_ctm: bool = False
     dump_loglikes: str = ""  # optional ark path: per-utt loglike matrices
                              # (the reference's --mode decode | infer ark flow,
@@ -64,7 +67,8 @@ def evaluate_asr(opts) -> dict:
     from .. import infer_helper, native
     from ..chain.decoder import best_path_decode, read_words_txt
     from ..chain.fst import Fst
-    from ..chain.lattice import ArpaLM, best_path, nbest, rescore_nbest, to_ctm
+    from ..chain.lattice import (ArpaLM, best_path, nbest,
+                                 rescore_lattice, rescore_nbest, to_ctm)
     from ..models.asrbn import output_num_frames
     from .pipeline import DEFAULT_BUCKETS, bucket_for
 
@@ -118,9 +122,15 @@ def evaluate_asr(opts) -> dict:
                 ng, ll, acoustic_scale=opts.acoustic_scale, beam=opts.beam,
                 lattice_beam=opts.lattice_beam, max_active=opts.max_active)
             if new_lm is not None:
-                hs = rescore_nbest(nbest(lat, opts.nbest), word_table,
-                                   new_lm, old_lm=old_lm, lm_scale=opts.lm_scale)
-                hyp = hs[0] if hs else None
+                if opts.rescore_mode == "exact":
+                    # kaldi LatticeLmrescoreConstArpa semantics (composition)
+                    hyp = rescore_lattice(lat, word_table, new_lm,
+                                          old_lm=old_lm, lm_scale=opts.lm_scale)
+                else:
+                    hs = rescore_nbest(nbest(lat, opts.nbest), word_table,
+                                       new_lm, old_lm=old_lm,
+                                       lm_scale=opts.lm_scale)
+                    hyp = hs[0] if hs else None
             else:
                 hyp = best_path(lat)
                 if hyp is not None:

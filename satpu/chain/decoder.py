@@ -201,12 +201,21 @@ def kaldi_decode(loglikes, graph, word_table: Optional[Dict[int, str]] = None,
 
 
 def kaldi_lm_rescoring(lattice, new_lm, word_table: Dict[int, str],
-                       old_lm=None, lm_scale: float = 1.0, n: int = 100) -> Dict:
+                       old_lm=None, lm_scale: float = 1.0, n: int = 100,
+                       mode: str = "exact") -> Dict:
     """Big-LM rescoring of a decoded lattice (reference kaldi_lm_rescoring,
     chain/decoder.py:61-93: G removal + ConstArpa): returns the best rescored
-    hypothesis dict (with 'text')."""
-    from .lattice import nbest, rescore_nbest
+    hypothesis dict (with 'text').
 
+    mode="exact" composes the lattice with the ARPA model(s) — kaldi's exact
+    LatticeLmrescoreConstArpa semantics; mode="nbest" is the faster
+    unique-word-sequence N-best(n) approximation."""
+    from .lattice import nbest, rescore_lattice, rescore_nbest
+
+    if mode == "exact":
+        hyp = rescore_lattice(lattice, word_table, new_lm, old_lm=old_lm,
+                              lm_scale=lm_scale)
+        return hyp if hyp else {"text": "", "words": []}
     hyps = rescore_nbest(nbest(lattice, n), word_table, new_lm, old_lm=old_lm,
                          lm_scale=lm_scale)
     return hyps[0] if hyps else {"text": "", "words": []}

@@ -82,6 +82,13 @@ class Lexicon:
         prons = self.entries.get(word)
         return prons[0] if prons else None
 
+    def unk_word(self) -> Optional[str]:
+        """The lexicon's unknown-word entry, if any (kaldi oov.txt role)."""
+        for cand in ("<unk>", "<UNK>", "<SPOKEN_NOISE>"):
+            if cand in self.entries:
+                return cand
+        return None
+
 
 def text_to_phones(words: Sequence[str], lexicon: Lexicon,
                    between_silprob: float = 0.1,
@@ -89,13 +96,18 @@ def text_to_phones(words: Sequence[str], lexicon: Lexicon,
                    edge_sil: bool = True) -> List[str]:
     """Transcript -> phone sequence with sampled inter-word silence
     (steps/nnet3/chain/e2e/text_to_phones.py --between-silprob 0.1). OOV
-    words are dropped with a warning (reference sym2int would map to UNK)."""
+    words map to the lexicon's unk entry when one exists (kaldi sym2int's
+    --map-oov semantics); otherwise they are dropped with a warning."""
     rng = rng or random
+    unk = lexicon.unk_word()
     seq: List[str] = [lexicon.sil] if edge_sil else []
     for i, w in enumerate(words):
         pron = lexicon.word_phones(w)
+        if pron is None and unk is not None and w != unk:
+            logging.info("OOV word %r mapped to %s", w, unk)
+            pron = lexicon.word_phones(unk)
         if pron is None:
-            logging.debug("OOV word %r dropped", w)
+            logging.warning("OOV word %r dropped (no unk entry in lexicon)", w)
             continue
         if i > 0 and between_silprob > 0 and rng.random() < between_silprob:
             seq.append(lexicon.sil)
