@@ -58,17 +58,30 @@ class Lattice:
         return outs
 
     def backward_costs(self) -> np.ndarray:
-        """Best cost-to-final per node (for A* N-best)."""
-        n = self.num_nodes
+        """Best cost-to-final per node (for A* N-best): one exact reverse
+        topological sweep. (A fixed small number of relaxation rounds left
+        node 0 at +inf on lattices deeper than the round count — every
+        utterance longer than a few frames — silently emptying the N-best.)"""
         bwd = np.where(np.isinf(self.node_final), np.inf, self.node_final)
         total = self.arc_graph + self.arc_acoustic
-        for _ in range(16):
-            upd = bwd[self.arc_to] + total
-            nxt = bwd.copy()
-            np.minimum.at(nxt, self.arc_from, upd)
-            if np.array_equal(nxt, bwd):
-                break
-            bwd = nxt
+        indeg = np.zeros(self.num_nodes, np.int64)
+        np.add.at(indeg, self.arc_to, 1)
+        outs = self.out_arcs()
+        stack = [i for i in range(self.num_nodes) if indeg[i] == 0]
+        order = []
+        while stack:
+            u = stack.pop()
+            order.append(u)
+            for ai in outs[u]:
+                v = int(self.arc_to[ai])
+                indeg[v] -= 1
+                if indeg[v] == 0:
+                    stack.append(v)
+        for u in reversed(order):
+            for ai in outs[u]:
+                c = bwd[int(self.arc_to[ai])] + total[ai]
+                if c < bwd[u]:
+                    bwd[u] = c
         return bwd
 
 

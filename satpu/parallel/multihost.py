@@ -56,6 +56,24 @@ def host_local_batch_size(global_batch: int,
     return global_batch // n
 
 
+def replicate_global(mesh, tree):
+    """Fully-replicated global arrays from identical host-local values
+    (parameters / optimizer state in a multi-host data-parallel step). Works
+    in single- and multi-process runs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import replicate
+
+    if jax.process_count() == 1:
+        return replicate(mesh, tree)
+    sh = NamedSharding(mesh, P())
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def global_batch_from_host_local(mesh, batch):
     """Assemble the globally-sharded batch from each host's local slice.
 
