@@ -54,6 +54,8 @@ class EvalOpts(cfg.Opts):
     cohort_size: int = 400  # top-N cohort utterances (reference asnorm top-400)
     xvector_mode: str = "chunked"  # "full" = reference batch=1 full-utterance
                                    # extraction protocol (objf.py:228-258)
+    ece_plot: bool = False  # write results/ece.png (reference ece_plot,
+                            # metric.py:815-847)
     results: str = "exp/eval"
 
 
@@ -201,6 +203,18 @@ def evaluate_asv(opts) -> dict:
                 wav, _ = kaldi_data.load_wav_from_scp(trial_wav[utt])
                 trial_wavs[utt] = wav[0]
     cohort_xv = None
+    if not opts.cohort_dir:
+        # reference default: the ArcMargin class-center weights serve as the
+        # AS-norm cohort (objf.py:260-266: after_speaker_embedding.weight,
+        # L2-normalized)
+        w = variables.get("params", {}).get("after_speaker_embedding",
+                                            {}).get("weight")
+        if w is not None:
+            w = np.asarray(w)
+            cohort_xv = w / np.maximum(
+                np.linalg.norm(w, axis=1, keepdims=True), 1e-12)
+            logging.info("AS-norm cohort: %d ArcMargin class centers "
+                         "(no --cohort-dir given)", len(cohort_xv))
     if opts.cohort_dir:
         cw = kaldi_data.read_wav_scp(os.path.join(opts.cohort_dir, "wav.scp"))
         if len(cw) > opts.cohort_size:
@@ -215,7 +229,9 @@ def evaluate_asv(opts) -> dict:
     metrics = asv_test(model, variables, enroll, trials, trial_wavs,
                        cohort_xv=cohort_xv,
                        metric_path=os.path.join(opts.results, "metric.json"),
-                       xvector_mode=opts.xvector_mode)
+                       xvector_mode=opts.xvector_mode,
+                       ece_plot_path=(os.path.join(opts.results, "ece")
+                                      if opts.ece_plot else None))
     logging.info("ASV %s", metrics)
     return metrics
 

@@ -142,11 +142,21 @@ def main(argv=None):
 
         w2v2 = (Wav2Vec2Config.large() if opts.wav2vec2_size == "large"
                 else Wav2Vec2Config.base())
+        # variant suffix selects the BN-layer transform: _vq (tuning/
+        # tdnnf_wav2vec2_vq.py), _dp (tuning/tdnnf_wav2vec2_dp.py: Laplace
+        # noise b=1/epsilon at the bottleneck), else plain
+        if opts.model.endswith("_vq"):
+            bottleneck = "vq"
+        elif opts.model.endswith("_dp"):
+            bottleneck = "dp"
+        else:
+            bottleneck = "none"
         mcfg = _dc.replace(
             wav2vec2_tdnnf_config(
                 output_dim=opts.num_pdfs,
-                bottleneck="vq" if opts.model.endswith("_vq") else "none",
-                codebook_size=opts.codebook_size),
+                bottleneck=bottleneck,
+                codebook_size=opts.codebook_size,
+                epsilon=opts.dp_epsilon),
             hidden_dim=opts.hidden_dim, bottleneck_dim=opts.bottleneck_dim,
             prefinal_bottleneck_dim=opts.prefinal_bottleneck_dim,
             natural_gradient=opts.natural_gradient)

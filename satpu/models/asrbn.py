@@ -293,15 +293,17 @@ class Wav2Vec2TDNNFNet(nn.Module):
 
 
 def wav2vec2_tdnnf_config(output_dim: int = 3280, bottleneck: str = "none",
-                          codebook_size: int = 0) -> TDNNFNetConfig:
-    """The tuning/tdnnf_wav2vec2*.py layout: kernels [3,3,3] / [1,3,3,3]."""
+                          codebook_size: int = 0,
+                          epsilon: float = 0.0) -> TDNNFNetConfig:
+    """The tuning/tdnnf_wav2vec2*.py layout: kernels [3,3,3] / [1,3,3,3];
+    epsilon > 0 selects the Laplace DP bottleneck (tdnnf_wav2vec2_dp.py)."""
     return TDNNFNetConfig(
         output_dim=output_dim,
         kernel_size_list=(3, 3, 3),
         subsampling_factor_list=(1, 1, 1),
         kernel_size_list_after=(1, 3, 3, 3),
         subsampling_factor_list_after=(1.5, 1, 1, 1),
-        bottleneck=bottleneck, codebook_size=codebook_size)
+        bottleneck=bottleneck, codebook_size=codebook_size, epsilon=epsilon)
 
 
 def fbank_num_frames(num_samples: int) -> int:

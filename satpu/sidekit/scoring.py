@@ -249,18 +249,75 @@ def ece(tar, non, plo):
     return out / np.log(2)
 
 
+def int_ece(x, epsilon: float = 1e-6) -> float:
+    """Z(X) of the reference's DECE paper (metric.py:789-806), vectorized:
+    Z = 0.25 + mean((a - b) / b^2) / 2 with b = exp(a) - 1 over LLRs a;
+    +inf contributes the 0.25 constant, |a| < epsilon contributes Z(0) = 0."""
+    x = np.asarray(x, np.float64)
+    idx = (~np.isinf(x)) & (np.abs(x) > epsilon)
+    contrib = np.zeros(len(x))
+    xx = x[idx]
+    lrm1 = np.exp(xx) - 1.0
+    contrib[idx] = (xx - lrm1) / lrm1 ** 2
+    contrib[np.abs(x) < epsilon] = -0.5  # Z(0) = 0 = 0.25 + (-0.5)/2
+    return 0.25 + contrib.mean() / 2.0
+
+
 def dece(tar_llrs, nontar_llrs) -> float:
-    """Discrepancy empirical cross-entropy summary (metric.py:789-813)."""
+    """Discrepancy empirical cross-entropy summary (metric.py:809-811)."""
+    return (int_ece(np.asarray(tar_llrs))
+            + int_ece(-np.asarray(nontar_llrs))) / np.log(2)
 
-    def int_ece(x, epsilon=1e-6):
-        x = np.sort(np.asarray(x, dtype=np.float64))
-        LRs = np.exp(x)
-        n = len(x)
-        contrib = np.zeros(n)
-        for i, lr in enumerate(LRs):
-            if lr < np.inf:
-                contrib[i] = (np.log(1 + lr) - lr * np.log((1 + lr) / lr)) / n if lr > 0 else 0.0
-        avg = contrib.sum() / np.log(4)
-        return avg
 
-    return int_ece(tar_llrs) + int_ece(-np.asarray(nontar_llrs))
+def max_abs_llr(tar_llrs, nontar_llrs) -> float:
+    """Largest |LLR| in base-10 units (metric.py:851-853)."""
+    return float(np.abs(np.hstack((tar_llrs, nontar_llrs))).max() / np.log(10))
+
+
+def category_tag_evidence(max_llr: float) -> str:
+    """ENFSI-inspired strength-of-evidence tag for a base-10 LLR range
+    (metric.py:856-877)."""
+    eps = np.finfo(float).eps
+    ranges = {"0": (0, eps), "A": (eps, 1), "B": (1, 2), "C": (2, 4),
+              "D": (4, 5), "E": (5, 6), "F": (6, np.inf)}
+    for tag, (lo, hi) in ranges.items():
+        if lo <= max_llr < hi:
+            return tag
+    return "F"
+
+
+def ece_plot(tar_llrs, nontar_llrs, output_file: str) -> str:
+    """The reference's ECE curve figure (metric.py:815-847): ECE of the
+    calibrated scores vs the logit prior, against the reference ECE of a
+    no-information system, titled with DECE / max|LLR| / evidence category.
+    Writes ``<output_file>.png`` (and .pdf) and returns the png path."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    tar_llrs = np.asarray(tar_llrs, np.float64)
+    nontar_llrs = np.asarray(nontar_llrs, np.float64)
+    d = dece(tar_llrs, nontar_llrs)
+    m = max_abs_llr(tar_llrs, nontar_llrs)
+    tag = category_tag_evidence(m)
+
+    plo = np.arange(-7, 7, 0.25)
+    min_pe = ece(tar_llrs, nontar_llrs, plo)
+    ref_pe = ece(np.array([0.0]), np.array([0.0]), plo)
+    plt.clf()
+    ax = plt.gca()
+    ax.plot(plo, ref_pe, label=r"$\mathrm{ECE}^{ref}$", color="black",
+            linewidth=2, linestyle=":")
+    ax.plot(plo, min_pe, label=r"$\mathrm{ECE}$", color="#e66101", linewidth=2)
+    ax.set_ylabel("ECE (bits)")
+    ax.set_xlabel("logit prior")
+    ax.set_title(r"$\mathrm{D}_{\mathrm{ECE}}$ = %.2f, $max_{|llr|}$ = %.2f, %s"
+                 % (d, m, tag), y=1.02)
+    ax.legend(loc="upper right")
+    base = output_file
+    for ext in (".pdf", ".png", ".csv", ".txt"):
+        base = base.replace(ext, "")
+    plt.savefig(base + ".pdf", format="pdf")
+    plt.savefig(base + ".png", format="png")
+    return base + ".png"

@@ -148,7 +148,8 @@ def asv_test(model, variables, enroll: Dict[str, List[np.ndarray]],
              trial_wavs: Dict[str, np.ndarray],
              cohort_xv: Optional[np.ndarray] = None,
              metric_path: Optional[str] = None,
-             xvector_mode: str = "chunked") -> Dict[str, float]:
+             xvector_mode: str = "chunked",
+             ece_plot_path: Optional[str] = None) -> Dict[str, float]:
     """Full trial evaluation: enroll spk-means, cosine scoring, EER/CI,
     linkability, min-Cllr (+ AS-norm variants when a cohort is given).
 
@@ -189,6 +190,11 @@ def asv_test(model, variables, enroll: Dict[str, List[np.ndarray]],
         metrics["asnorm_eer"] = scoring.eer_point(tar_n, non_n) * 100
         metrics["asnorm_linkability"] = float(scoring.linkability(tar_n, non_n)[0])
         metrics["asnorm_min_cllr"] = float(scoring.min_cllr(tar_n, non_n))
+    if ece_plot_path:
+        # the reference plots the PAV-calibrated LLRs (metric.py:815-847)
+        tar_opt, non_opt = scoring.optimal_llr(tar, non)
+        metrics["dece"] = float(scoring.dece(tar_opt, non_opt))
+        metrics["ece_plot"] = scoring.ece_plot(tar_opt, non_opt, ece_plot_path)
     if metric_path:
         with open(metric_path, "w") as f:
             json.dump(metrics, f, indent=2)

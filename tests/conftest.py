@@ -19,6 +19,13 @@ import jax
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+# Persistent compilation cache: the suite's wall time is dominated by XLA CPU
+# compiles on this 1-core host (round-1 weak #8); warm runs skip them.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SATPU_TEST_JAX_CACHE", "/tmp/satpu_test_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def cpu_devices():
     return jax.devices("cpu")

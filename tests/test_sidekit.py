@@ -200,3 +200,30 @@ def test_asnorm_matches_reference(rng):
                          torch.from_numpy(tst), torch.from_numpy(coh)).numpy()
     out = scoring.asnorm(s, enr, tst, coh)
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_dece_and_ece_plot_match_reference(tmp_path, rng):
+    """dece/int_ece golden vs reference metric.py:789-811 (the vectorized
+    current formula), and the ece_plot figure writes (metric.py:815-847)."""
+    from satpu.sidekit import scoring
+
+    m = _ref_metric()
+    tar = rng.standard_normal(400) * 1.5 + 1.0
+    non = rng.standard_normal(600) * 1.2 - 1.0
+    # include the special cases: exact zero and near-zero LLRs
+    tar[0] = 0.0
+    tar[1] = 1e-9
+    ref = float(m.dece(tar, non))
+    got = float(scoring.dece(tar, non))
+    assert abs(ref - got) < 1e-12, (ref, got)
+    assert abs(float(m.int_ece(tar)) - float(scoring.int_ece(tar))) < 1e-12
+
+    assert scoring.category_tag_evidence(0.5) == "A"
+    assert scoring.category_tag_evidence(3.0) == "C"
+    assert scoring.category_tag_evidence(10.0) == "F"
+
+    out = scoring.ece_plot(tar, non, str(tmp_path / "ece.png"))
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+    assert os.path.exists(str(tmp_path / "ece.pdf"))

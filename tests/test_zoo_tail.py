@@ -197,3 +197,46 @@ def test_gru_pooling(rng):
     x2[:, 0, :] += 1.0
     out2 = mod.apply(v, x2)
     assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-6
+
+
+def test_wav2vec2_dp_variant_builds_and_noises():
+    """tdnnf_wav2vec2_dp (reference tuning/tdnnf_wav2vec2_dp.py:92-94):
+    wav2vec2 front + Laplace-noise bottleneck — buildable via the registry and
+    actually noising the BN features (round-1 missing #6)."""
+    import jax
+    import numpy as np
+
+    from satpu import infer_helper
+    from satpu.models.asrbn import Wav2Vec2TDNNFNet, wav2vec2_tdnnf_config
+    from satpu.models.wav2vec2 import Wav2Vec2Config
+
+    w2v2 = Wav2Vec2Config(conv_dim=(16, 16), conv_kernel=(10, 4),
+                          conv_stride=(5, 4), hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          intermediate_size=64, num_conv_pos_embeddings=16,
+                          num_conv_pos_embedding_groups=4)
+    cfg = wav2vec2_tdnnf_config(output_dim=16, bottleneck="dp", epsilon=1.0)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, hidden_dim=32, bottleneck_dim=16,
+                              prefinal_bottleneck_dim=16, p_dropout=0.0)
+    net = Wav2Vec2TDNNFNet(cfg, w2v2)
+    wav = np.random.default_rng(0).standard_normal((1, 8000)).astype(np.float32) * 0.1
+    variables = net.init(jax.random.PRNGKey(0), wav)
+    bn1 = net.apply(variables, wav, method=net.extract_bn,
+                    rngs={"noise": jax.random.PRNGKey(1)})
+    bn2 = net.apply(variables, wav, method=net.extract_bn,
+                    rngs={"noise": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(bn1)).all()
+    # the Laplace noise actually perturbs the bottleneck, rng-dependent
+    assert np.max(np.abs(np.asarray(bn1) - np.asarray(bn2))) > 1e-3
+
+    # and it round-trips through the model registry (train_asr save path)
+    model = infer_helper.build_model(
+        "asrbn_tdnnf_wav2vec2", output_dim=16, bottleneck="dp", epsilon=1.0,
+        hidden_dim=32, bottleneck_dim=16, prefinal_bottleneck_dim=16,
+        kernel_size_list=[3, 3, 3], subsampling_factor_list=[1, 1, 1],
+        kernel_size_list_after=[1, 3, 3, 3],
+        subsampling_factor_list_after=[1.5, 1, 1, 1],
+        wav2vec2=dataclasses.asdict(w2v2))
+    assert model.cfg.bottleneck == "dp" and model.cfg.epsilon == 1.0
