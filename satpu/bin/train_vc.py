@@ -33,6 +33,9 @@ class TrainVcOpts(cfg.Opts):
     asrbn_checkpoint: str = ""  # frozen BN extractor (satpu checkpoint)
     minibatch_size: int = 8
     segment_size: int = 16640
+    # "float32" | "bfloat16": explicit mixed-precision training policy for
+    # the G/D conv stacks (the reference trains under autocast)
+    compute_dtype: str = "float32"
     lr: float = 0.0002
     adam_b1: float = 0.8
     adam_b2: float = 0.99
@@ -124,7 +127,7 @@ def main(argv=None):
         upsample_rates=tuple(int(x) for x in opts.upsample_rates.split(",")),
         upsample_kernel_sizes=tuple(int(x) for x in opts.upsample_kernel_sizes.split(",")),
         upsample_initial_channel=opts.upsample_initial_channel,
-        bn_dim=opts.bn_dim)
+        bn_dim=opts.bn_dim, compute_dtype=opts.compute_dtype)
     model = AnonymizationNet(anon_cfg)
 
     f0_j = jax.jit(model.get_f0)
@@ -157,7 +160,8 @@ def main(argv=None):
         ds.fake_epoch(progress_cb=lambda d, t: d % 100 == 0 and logging.info("%d/%d", d, t))
 
     h = GanHparams(lr=opts.lr, adam_b1=opts.adam_b1, adam_b2=opts.adam_b2,
-                   lr_decay=opts.lr_decay, segment_size=opts.segment_size)
+                   lr_decay=opts.lr_decay, segment_size=opts.segment_size,
+                   compute_dtype=opts.compute_dtype)
     rng = jax.random.PRNGKey(0)
     T_bn = opts.segment_size // 320
     init_batch = {

@@ -48,6 +48,11 @@ class GanHparams:
     fmin: float = 0.0
     fmax: float = 8000.0
     mel_weight: float = 45.0
+    # "float32" | "bfloat16": conv compute dtype for G and the WN
+    # discriminators (the explicit training mixed-precision policy; the
+    # reference trains under torch autocast, tuning/hifigan.py:99). Params,
+    # losses, mel comparison and the SN scale stay f32.
+    compute_dtype: str = "float32"
 
 
 @flax.struct.dataclass
@@ -93,8 +98,9 @@ def merge_generator_params(train_params, frozen):
 def init_gan_state(anon_model: AnonymizationNet, anon_variables, rng,
                    h: GanHparams = GanHparams()) -> Tuple[GanTrainState, Any, Any]:
     """Initialize discriminators + optimizers. Returns (state, mpd, msd)."""
-    mpd = MultiPeriodDiscriminator()
-    msd = MultiScaleDiscriminator()
+    dt = jnp.bfloat16 if h.compute_dtype == "bfloat16" else None
+    mpd = MultiPeriodDiscriminator(dtype=dt)
+    msd = MultiScaleDiscriminator(dtype=dt)
     dummy = jnp.zeros((1, h.segment_size, 1))
     k1, k2 = jax.random.split(rng)
     # jit the inits: eager per-op init of the big 2D convs is minutes on CPU

@@ -326,6 +326,7 @@ class WNConv2d(nn.Module):
     stride: Tuple[int, int]
     padding: Tuple[int, int]
     groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 policy); params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -340,6 +341,12 @@ class WNConv2d(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         w = _weight_norm(v, g)
         kernel = jnp.transpose(w, (2, 3, 1, 0))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            b = b.astype(self.dtype)
+        elif x.dtype != kernel.dtype:
+            x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=self.stride,
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
@@ -349,11 +356,17 @@ class WNConv2d(nn.Module):
 
 
 class DiscriminatorP(nn.Module):
-    """Period discriminator (hifigan/nn.py:235-302). Input [B, T, 1]."""
+    """Period discriminator (hifigan/nn.py:235-302). Input [B, T, 1].
+
+    ``dtype=jnp.bfloat16`` runs the conv stack at bf16 (the explicit training
+    mixed-precision policy; the reference trains D under autocast too) —
+    scores and feature maps return in f32 so the LSGAN/feature-matching
+    losses accumulate at full precision."""
 
     period: int
     kernel_size: int = 5
     stride: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -368,13 +381,17 @@ class DiscriminatorP(nn.Module):
         channels = [(1, 32), (32, 128), (128, 512), (512, 1024)]
         for i, (cin, cout) in enumerate(channels):
             x = WNConv2d(cin, cout, (self.kernel_size, 1), (self.stride, 1),
-                         (_get_padding(5, 1), 0), name=f"convs_{i}")(x)
+                         (_get_padding(5, 1), 0), dtype=self.dtype,
+                         name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            fmap.append(x)
-        x = WNConv2d(1024, 1024, (self.kernel_size, 1), (1, 1), (2, 0), name="convs_4")(x)
+            fmap.append(x.astype(jnp.float32))
+        x = WNConv2d(1024, 1024, (self.kernel_size, 1), (1, 1), (2, 0),
+                     dtype=self.dtype, name="convs_4")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
-        fmap.append(x)
-        x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x)
+        fmap.append(x.astype(jnp.float32))
+        x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), dtype=self.dtype,
+                     name="conv_post")(x)
+        x = x.astype(jnp.float32)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -383,6 +400,7 @@ class DiscriminatorS(nn.Module):
     """Scale discriminator (hifigan/nn.py:334-361). Input [B, T, 1]."""
 
     use_spectral_norm: bool = False
+    dtype: Any = None  # bf16 policy for the WN scales; SN scale stays f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_sn: bool = False):
@@ -404,13 +422,15 @@ class DiscriminatorS(nn.Module):
                            name=f"convs_{i}")(x, update_sn=update_sn)
             else:
                 x = WNConv2d(cin, cout, (k, 1), (s, 1), (p, 0), groups=g,
-                             name=f"convs_{i}")(x)
+                             dtype=self.dtype, name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            fmap.append(x)
+            fmap.append(x.astype(jnp.float32))
         if self.use_spectral_norm:
             x = SNConv(1024, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x, update_sn=update_sn)
         else:
-            x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x)
+            x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), dtype=self.dtype,
+                         name="conv_post")(x)
+        x = x.astype(jnp.float32)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -425,11 +445,13 @@ def _avg_pool1d(x: jnp.ndarray, kernel: int = 4, stride: int = 2, padding: int =
 class MultiPeriodDiscriminator(nn.Module):
     """Periods 2,3,5,7,11 (hifigan/nn.py:305-331)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, p in enumerate((2, 3, 5, 7, 11)):
-            d = DiscriminatorP(p, name=f"discriminators_{i}")
+            d = DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i}")
             y_d_r, fmap_r = d(y)
             y_d_g, fmap_g = d(y_hat)
             y_d_rs.append(y_d_r)
@@ -442,6 +464,8 @@ class MultiPeriodDiscriminator(nn.Module):
 class MultiScaleDiscriminator(nn.Module):
     """3 scales with avg-pool downsampling (hifigan/nn.py:364-394)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, update_sn: bool = False):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
@@ -449,7 +473,8 @@ class MultiScaleDiscriminator(nn.Module):
             if i != 0:
                 y = _avg_pool1d(y)
                 y_hat = _avg_pool1d(y_hat)
-            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"discriminators_{i}")
+            d = DiscriminatorS(use_spectral_norm=(i == 0), dtype=self.dtype,
+                               name=f"discriminators_{i}")
             y_d_r, fmap_r = d(y, update_sn=update_sn) if i == 0 else d(y)
             y_d_g, fmap_g = d(y_hat) if i == 0 else d(y_hat)
             y_d_rs.append(y_d_r)

@@ -108,3 +108,57 @@ def test_multihost_helpers_single_process():
     assert g["x"].shape == (16, 1)
     total = jax.jit(lambda b: b["x"].sum())(g)
     np.testing.assert_allclose(float(total), np.arange(16).sum())
+
+
+def test_gan_bf16_policy_tracks_f32():
+    """The explicit bf16 training policy (GanHparams.compute_dtype) must stay
+    finite and track the f32 trajectory on the tiny config — the convergence
+    smoke behind the 2x serving-throughput training policy."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from satpu.models.anonymizer import AnonymizationNet, AnonymizerConfig
+    from satpu.models.asrbn import TDNNFNetConfig
+    from satpu.hifigan.trainer import GanHparams, init_gan_state, make_gan_train_step
+
+    def run(compute_dtype, steps=6):
+        cfg = AnonymizerConfig(
+            asrbn=TDNNFNetConfig(output_dim=8, hidden_dim=16, bottleneck_dim=8,
+                                 prefinal_bottleneck_dim=8),
+            num_speakers=4, bn_dim=8,
+            upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+            upsample_initial_channel=32, compute_dtype=compute_dtype)
+        model = AnonymizationNet(cfg)
+        rng = jax.random.PRNGKey(0)
+        B, T_bn = 2, 16
+        seg = T_bn * 16
+        f0 = np.abs(np.random.default_rng(0).standard_normal((B, T_bn))).astype(np.float32) * 100
+        bn = np.random.default_rng(1).standard_normal((B, cfg.bn_dim, T_bn)).astype(np.float32)
+        spk = np.eye(cfg.num_speakers, dtype=np.float32)[[0, 1]]
+        # init in f32 so both runs share the same parameters
+        init_cfg = dataclasses.replace(cfg, compute_dtype="float32")
+        variables = AnonymizationNet(init_cfg).init(
+            rng, f0, bn, spk, method=AnonymizationNet(init_cfg).forward_decoder)
+        h = GanHparams(segment_size=seg, n_fft=64, num_mels=8, hop_size=16,
+                       win_size=64, fmax=8000.0, compute_dtype=compute_dtype)
+        state, mpd, msd = init_gan_state(model, dict(variables), rng, h)
+        step = jax.jit(make_gan_train_step(model, mpd, msd, h))
+        batch = {"bn": bn, "f0": f0, "spk": spk,
+                 "audio": np.random.default_rng(2).standard_normal((B, seg)).astype(np.float32) * 0.1}
+        hist = []
+        for _ in range(steps):
+            state, metrics = step(state, batch)
+            hist.append({k: float(v) for k, v in metrics.items()})
+        return hist
+
+    f32 = run("float32")
+    bf16 = run("bfloat16")
+    for a, b in zip(f32, bf16):
+        assert np.isfinite(b["loss_gen_all"]) and np.isfinite(b["loss_disc_all"])
+        # same order of magnitude and direction (bf16 rounding shifts values)
+        assert abs(b["loss_gen_all"] - a["loss_gen_all"]) / max(abs(a["loss_gen_all"]), 1.0) < 0.15
+        assert abs(b["loss_disc_all"] - a["loss_disc_all"]) / max(abs(a["loss_disc_all"]), 1.0) < 0.25
+    # both trajectories actually train (D loss moves down from its start)
+    assert bf16[-1]["loss_disc_all"] < bf16[0]["loss_disc_all"]
