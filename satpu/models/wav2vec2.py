@@ -42,6 +42,11 @@ class Wav2Vec2Config:
     num_conv_pos_embedding_groups: int = 16
     do_stable_layer_norm: bool = True  # "large"-style pre-norm
     layer_norm_eps: float = 1e-5
+    # "layer" = LayerNorm (+conv bias) after EVERY extractor conv (fairseq
+    # extractor_mode="layer_norm": wav2vec2-large / voxpopuli — the B5
+    # front); "group" = GroupNorm after conv 0 only (base models)
+    feat_extract_norm: str = "layer"
+    conv_bias: bool = True
 
     @classmethod
     def large(cls) -> "Wav2Vec2Config":
@@ -50,7 +55,8 @@ class Wav2Vec2Config:
     @classmethod
     def base(cls) -> "Wav2Vec2Config":
         return cls(hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
-                   intermediate_size=3072, do_stable_layer_norm=False)
+                   intermediate_size=3072, do_stable_layer_norm=False,
+                   feat_extract_norm="group", conv_bias=False)
 
 
 class _LayerNorm(nn.Module):
@@ -77,9 +83,14 @@ class FeatureExtractor(nn.Module):
         h = x[:, :, None]  # [B, T, 1]
         in_dim = 1
         for i, (dim, k, s) in enumerate(zip(c.conv_dim, c.conv_kernel, c.conv_stride)):
-            h = Conv1d(in_dim, dim, k, stride=s, use_bias=False,
+            h = Conv1d(in_dim, dim, k, stride=s, use_bias=c.conv_bias,
                        name=f"conv_layers_{i}_conv")(h)
-            if i == 0:
+            if c.feat_extract_norm == "layer":
+                # extractor_mode="layer_norm" (wav2vec2-large / voxpopuli):
+                # LayerNorm over channels after every conv
+                h = _LayerNorm(dim, c.layer_norm_eps,
+                               name=f"conv_layers_{i}_layer_norm")(h)
+            elif i == 0:
                 # GroupNorm with num_groups == channels (per-channel IN over time)
                 mean = jnp.mean(h, axis=1, keepdims=True)
                 var = jnp.var(h, axis=1, keepdims=True)
@@ -207,10 +218,21 @@ def convert_wav2vec2(hf_state_dict: Dict[str, Any]) -> Dict[str, Any]:
 
     # feature extractor
     n_convs = len([k for k in sd if "feature_extractor.conv_layers" in k and k.endswith("conv.weight")])
+    layer_mode = (prefix + "feature_extractor.conv_layers.1.layer_norm.weight"
+                  in sd)
     for i in range(n_convs):
         put(("feature_extractor", f"conv_layers_{i}_conv", "weight"),
             g(f"feature_extractor.conv_layers.{i}.conv.weight"))
-    if prefix + "feature_extractor.conv_layers.0.layer_norm.weight" in sd:
+        if prefix + f"feature_extractor.conv_layers.{i}.conv.bias" in sd:
+            put(("feature_extractor", f"conv_layers_{i}_conv", "bias"),
+                g(f"feature_extractor.conv_layers.{i}.conv.bias"))
+        if layer_mode:
+            put(("feature_extractor", f"conv_layers_{i}_layer_norm", "weight"),
+                g(f"feature_extractor.conv_layers.{i}.layer_norm.weight"))
+            put(("feature_extractor", f"conv_layers_{i}_layer_norm", "bias"),
+                g(f"feature_extractor.conv_layers.{i}.layer_norm.bias"))
+    if (not layer_mode
+            and prefix + "feature_extractor.conv_layers.0.layer_norm.weight" in sd):
         put(("feature_extractor", "conv_layers_0_layer_norm_weight"),
             g("feature_extractor.conv_layers.0.layer_norm.weight"))
         put(("feature_extractor", "conv_layers_0_layer_norm_bias"),

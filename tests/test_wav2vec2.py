@@ -49,7 +49,8 @@ def test_wav2vec2_matches_hf(rng, stable):
         conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
         hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
         intermediate_size=64, num_conv_pos_embeddings=16,
-        num_conv_pos_embedding_groups=4, do_stable_layer_norm=stable)
+        num_conv_pos_embedding_groups=4, do_stable_layer_norm=stable,
+        feat_extract_norm="group", conv_bias=False)
     model = Wav2Vec2Model(cfg)
     variables = convert_wav2vec2(hf.state_dict())
     out = np.asarray(model.apply(variables, x))
@@ -188,3 +189,41 @@ def test_wav2vec2_layered_lr_freeze(rng):
         {k: v for k, v in state.params.items() if k != "preprocessor"})
     assert max(jax.tree_util.tree_leaves(d_pre)) == 0.0, "preprocessor not frozen"
     assert max(jax.tree_util.tree_leaves(d_rest)) > 0.0, "tdnnf did not update"
+
+
+def test_wav2vec2_large_fullscale_conversion(rng):
+    """Full-scale (wav2vec2-LARGE architecture: 24 layers, 1024 hidden,
+    stable layer-norm, 7-conv frontend — the B5 front's exact shape) HF
+    checkpoint conversion + forward golden. Round-1 verdict missing #7: the
+    key map had only ever been pushed through tiny synthetic configs; this
+    exercises every layer of the released-checkpoint shape (weights random —
+    the real released file needs network — but key coverage, shapes and
+    numerics of the full 24-layer conversion are what the converter can get
+    wrong)."""
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model as HFModel
+
+    from satpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model, convert_wav2vec2
+
+    hf_cfg = HFConfig(
+        vocab_size=32, hidden_size=1024, num_hidden_layers=24,
+        num_attention_heads=16, intermediate_size=4096,
+        conv_dim=[512] * 7, conv_kernel=[10, 3, 3, 3, 3, 2, 2],
+        conv_stride=[5, 2, 2, 2, 2, 2, 2],
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16,
+        do_stable_layer_norm=True, feat_extract_norm="layer", conv_bias=True,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        layerdrop=0.0, apply_spec_augment=False)
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+
+    x = (rng.standard_normal((1, 8000)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.copy())).last_hidden_state.numpy()
+
+    variables = convert_wav2vec2(hf.state_dict())
+    model = Wav2Vec2Model(Wav2Vec2Config.large())
+    out = np.asarray(model.apply(variables, x))
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
