@@ -37,6 +37,8 @@ class TrainAsvOpts(cfg.Opts):
     epochs: int = 100
     patience: int = 10
     fine_tune: bool = False  # raises ArcMargin m to 0.4, disables specaug
+    # "bfloat16" = AMP-analog trunk autocast (reference sidekit/objf.py:57)
+    compute_dtype: str = "float32"
     # warm start (fine-tune seed): shape-matching params transferred from this
     # checkpoint (reference sidekit/model.py:152-156 via match_state_dict)
     init_weight_model: str = ""
@@ -81,7 +83,8 @@ def main(argv=None):
     state = init_asv_state(model, jax.random.PRNGKey(opts.seed),
                            np.zeros((2, dur), np.float32), optimizer)
     arc_m = 0.4 if opts.fine_tune else None
-    step = jax.jit(make_asv_train_step(model, optimizer, arc_m=arc_m))
+    step = jax.jit(make_asv_train_step(model, optimizer, arc_m=arc_m,
+                                       compute_dtype=opts.compute_dtype))
 
     if opts.init_weight_model:
         import jax.numpy as jnp

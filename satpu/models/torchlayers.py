@@ -7,7 +7,9 @@ free at compile time. Inputs are channels-last ([B, T, C] / [B, H, W, C]).
 """
 from __future__ import annotations
 
-from typing import Tuple, Union
+import contextlib
+import contextvars
+from typing import Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -18,6 +20,35 @@ import numpy as np
 def _kaiming_uniform(key, shape, fan_in):
     bound = float(np.sqrt(1.0 / fan_in)) * float(np.sqrt(3.0))
     return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+
+# Trace-time mixed-precision policy: the TPU analog of the reference's
+# torch.amp.autocast (sidekit/objf.py:57, tuning/hifigan.py:99). Inside an
+# ``autocast(jnp.bfloat16)`` block, Conv1d/Conv2d/Linear cast inputs and
+# weights to the compute dtype (params stay f32 master copies — the cast is
+# in-graph, so gradients accumulate back to f32), while BatchNorm always
+# computes and returns f32, matching torch autocast's fp32 op list. The
+# context is consulted when the layer is *traced*, so wrap the model.apply
+# inside the jitted step.
+_AUTOCAST: contextvars.ContextVar = contextvars.ContextVar(
+    "satpu_autocast_dtype", default=None)
+
+
+@contextlib.contextmanager
+def autocast(dtype: Optional[jnp.dtype]):
+    """Run layer tracing under a compute dtype (None = no-op)."""
+    token = _AUTOCAST.set(jnp.dtype(dtype) if dtype is not None else None)
+    try:
+        yield
+    finally:
+        _AUTOCAST.reset(token)
+
+
+def _autocast_pair(x, w):
+    dt = _AUTOCAST.get()
+    if dt is not None and jnp.issubdtype(x.dtype, jnp.floating):
+        return x.astype(dt), w.astype(dt)
+    return x, w
 
 
 class Conv1d(nn.Module):
@@ -38,6 +69,7 @@ class Conv1d(nn.Module):
         fan_in = shape[1] * shape[2]
         w = self.param("weight", lambda k, s: _kaiming_uniform(k, s, fan_in), shape)
         kernel = jnp.transpose(w, (2, 1, 0))
+        x, kernel = _autocast_pair(x, kernel)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
@@ -47,7 +79,7 @@ class Conv1d(nn.Module):
         if self.use_bias:
             b = self.param("bias", lambda k, s: _kaiming_uniform(k, s, fan_in),
                            (self.out_channels,))
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -71,6 +103,7 @@ class Conv2d(nn.Module):
         fan_in = shape[1] * ks[0] * ks[1]
         w = self.param("weight", lambda k, s: _kaiming_uniform(k, s, fan_in), shape)
         kernel = jnp.transpose(w, (2, 3, 1, 0))
+        x, kernel = _autocast_pair(x, kernel)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=st,
             padding=[(pd[0], pd[0]), (pd[1], pd[1])],
@@ -79,7 +112,7 @@ class Conv2d(nn.Module):
         if self.use_bias:
             b = self.param("bias", lambda k, s: _kaiming_uniform(k, s, fan_in),
                            (self.out_channels,))
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -94,11 +127,12 @@ class Linear(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.param("weight", lambda k, s: _kaiming_uniform(k, s, self.in_features),
                        (self.out_features, self.in_features))
+        x, w = _autocast_pair(x, w)
         y = jnp.einsum("...i,oi->...o", x, w)
         if self.use_bias:
             b = self.param("bias", lambda k, s: _kaiming_uniform(k, s, self.in_features),
                            (self.out_features,))
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -116,6 +150,9 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # f32 op under autocast (torch amp keeps batch_norm in fp32): stats
+        # and output stay f32; downstream layers re-cast as needed.
+        x = x.astype(jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((self.num_features,)))
         ra_var = self.variable("batch_stats", "var",

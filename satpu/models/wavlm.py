@@ -41,10 +41,14 @@ class WavLMConfig:
     max_bucket_distance: int = 800
     do_stable_layer_norm: bool = True  # wavlm-large
     layer_norm_eps: float = 1e-5
+    # HF WavLMConfig defaults (group-norm extractor, no conv biases);
+    # wavlm-large overrides to the layer-norm extractor like w2v2-large
+    feat_extract_norm: str = "group"
+    conv_bias: bool = False
 
     @classmethod
     def large(cls) -> "WavLMConfig":
-        return cls()
+        return cls(feat_extract_norm="layer", conv_bias=True)
 
     @classmethod
     def base(cls) -> "WavLMConfig":
@@ -60,7 +64,9 @@ class WavLMConfig:
             num_conv_pos_embeddings=self.num_conv_pos_embeddings,
             num_conv_pos_embedding_groups=self.num_conv_pos_embedding_groups,
             do_stable_layer_norm=self.do_stable_layer_norm,
-            layer_norm_eps=self.layer_norm_eps)
+            layer_norm_eps=self.layer_norm_eps,
+            feat_extract_norm=self.feat_extract_norm,
+            conv_bias=self.conv_bias)
 
 
 def relative_positions_bucket(relative_positions: np.ndarray, num_buckets: int,

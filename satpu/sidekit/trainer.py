@@ -1,8 +1,9 @@
 """ASV training/eval (reference satools/satools/sidekit/{model,objf,monitor}.py).
 
-- jitted data-parallel train step (AdamW/Adam + schedule, mixed precision is
-  implicit: TPU matmuls run bf16 with fp32 accumulation, replacing the
-  reference's AMP+GradScaler machinery in sidekit/objf.py:16-128),
+- jitted data-parallel train step (AdamW/Adam + schedule; explicit bf16
+  autocast policy via compute_dtype="bfloat16" replacing the reference's
+  AMP+GradScaler machinery in sidekit/objf.py:16-128 — bf16 keeps f32's
+  exponent range so no GradScaler is needed),
 - validation: cosine score matrix over embeddings with target/non-target
   masks + bootstrap EER (objf.py:132-186),
 - test: enroll/trial x-vector extraction, speaker-mean + L2 norm, cosine
@@ -24,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..models import torchlayers
 from . import scoring
 from .xvector import XVectorConfig, build_xvector
 
@@ -53,16 +55,26 @@ def init_asv_state(model, rng, example_wav, optimizer) -> AsvTrainState:
 
 
 def make_asv_train_step(model, optimizer, lr_schedule: Optional[Callable] = None,
-                        arc_m: Optional[float] = None):
+                        arc_m: Optional[float] = None,
+                        compute_dtype: str = "float32"):
     """(state, wav [B,T], target [B], rng) -> (state, metrics). Data-parallel
-    under a mesh: shard wav/target on the batch dim, replicate state."""
+    under a mesh: shard wav/target on the batch dim, replicate state.
+
+    compute_dtype="bfloat16" runs the trunk convs/linears in bf16 via
+    torchlayers.autocast — the reference's AMP+autocast training policy
+    (sidekit/objf.py:57) — with f32 master params, BatchNorm, pooling stats
+    and ArcMargin loss. bf16 needs no GradScaler (same exponent range as
+    f32), so the reference's GradScaler/skip machinery has no analog here.
+    """
+    cast = (jnp.bfloat16 if compute_dtype == "bfloat16" else None)
 
     def train_step(state: AsvTrainState, wav, target, rng):
         def loss_fn(params):
-            ((loss, logits), _), new_model_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats}, wav, target,
-                train=True, arc_m=arc_m, rngs={"augment": rng},
-                mutable=["batch_stats"])
+            with torchlayers.autocast(cast):
+                ((loss, logits), _), new_model_state = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats}, wav, target,
+                    train=True, arc_m=arc_m, rngs={"augment": rng},
+                    mutable=["batch_stats"])
             acc = jnp.mean((jnp.argmax(logits, axis=-1) == target).astype(jnp.float32))
             return loss, (new_model_state["batch_stats"], acc)
 

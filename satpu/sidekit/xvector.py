@@ -66,6 +66,9 @@ class EcapaXVector(nn.Module):
             x = spec_masking(x, self.make_rng("augment"))
         in_feat = x.shape[-1]
         x = PreEcapaTDNN(in_feat, c.channels, name="sequence_network")(x, train=train)
+        # the trunk may run bf16 under torchlayers.autocast; pooling stats,
+        # embedding and ArcMargin stay f32 (torch amp's fp32 list)
+        x = x.astype(jnp.float32)
         x = AttentiveStatsPool(c.channels * 3, 128, name="stat_pooling")(x)
         x = Linear(c.channels * 3 * 2, c.embedding_size, use_bias=False,
                    name="before_speaker_embedding_lin")(x)
@@ -89,6 +92,7 @@ class ResNetXVector(nn.Module):
             x = spec_masking(x, self.make_rng("augment"))
         in_feat = x.shape[-1]
         x = PreHalfResNet34(name="sequence_network")(x, train=train)  # [B, F', T', 256]
+        x = x.astype(jnp.float32)  # bf16 trunk under autocast; f32 pooling
         x = AttentivePooling(256, in_feat // 8, global_context=True,
                              name="stat_pooling")(x, train=train)
         x = Linear(256 * (in_feat // 8) * 2, c.embedding_size, use_bias=False,

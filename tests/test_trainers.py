@@ -108,6 +108,45 @@ def test_asv_train_step_and_validation(tmp_path):
     assert mon2.best_eer == 10.0
 
 
+def test_asv_bf16_policy_tracks_f32():
+    """The ASV bf16 autocast policy (the reference's AMP analog,
+    sidekit/objf.py:57) must converge like f32: loss decreases and first-step
+    losses agree (identical init; bf16 rounding only)."""
+    import jax
+
+    from satpu.sidekit.trainer import (init_asv_state, make_asv_optimizer,
+                                       make_asv_train_step)
+    from satpu.sidekit.xvector import XVectorConfig, build_xvector
+
+    rng = np.random.default_rng(1)
+    B, T = 8, 8000
+    wav = (rng.standard_normal((B, T)) * 0.1).astype(np.float32)
+    target = (np.arange(B) % 4).astype(np.int32)
+
+    def run(dtype):
+        cfg = XVectorConfig(num_speakers=4, channels=32, embedding_size=16,
+                            spec_augment=False)
+        model = build_xvector(cfg)
+        optimizer = make_asv_optimizer(lr=5e-3)
+        state = init_asv_state(model, jax.random.PRNGKey(0), wav, optimizer)
+        step = jax.jit(make_asv_train_step(model, optimizer, compute_dtype=dtype))
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, wav, target, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    f32 = run("float32")
+    bf16 = run("bfloat16")
+    assert np.isfinite(bf16).all()
+    assert abs(bf16[0] - f32[0]) / abs(f32[0]) < 0.05, (f32[0], bf16[0])
+    assert min(bf16[1:]) < bf16[0], bf16  # still learns
+    # both collapse the toy loss by orders of magnitude; near zero the
+    # relative f32/bf16 gap is meaningless, so assert convergence ratio
+    assert bf16[-1] < 0.05 * bf16[0], bf16
+    assert f32[-1] < 0.05 * f32[0], f32
+
+
 def test_side_sampler_balanced():
     from satpu.sidekit.dataset import SideSampler
 
