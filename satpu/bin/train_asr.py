@@ -72,6 +72,10 @@ class TrainAsrOpts(cfg.Opts):
     # warm start: checkpoint whose shape-matching params seed the new model
     # (reference chain/model.py:129-154 via match_state_dict)
     init_weight_model: str = ""
+    # "bfloat16" = mixed-precision net matmuls (LF-MMI FB + optimizer stay
+    # f32), the chain analog of the reference's wav2vec2 autocast
+    # (tuning/tdnnf_wav2vec2_vq.py:295)
+    compute_dtype: str = "float32"
 
 
 def main(argv=None):
@@ -128,7 +132,8 @@ def main(argv=None):
                           hidden_dim=opts.hidden_dim, bottleneck_dim=opts.bottleneck_dim,
                           prefinal_bottleneck_dim=opts.prefinal_bottleneck_dim,
                           codebook_size=opts.codebook_size, epsilon=opts.dp_epsilon,
-                          natural_gradient=opts.natural_gradient)
+                          natural_gradient=opts.natural_gradient,
+                          compute_dtype=opts.compute_dtype)
     spk_index = None
     model_id, extra_params = "asrbn_tdnnf", {}
     preprocessor_schedule = None
@@ -159,7 +164,8 @@ def main(argv=None):
                 epsilon=opts.dp_epsilon),
             hidden_dim=opts.hidden_dim, bottleneck_dim=opts.bottleneck_dim,
             prefinal_bottleneck_dim=opts.prefinal_bottleneck_dim,
-            natural_gradient=opts.natural_gradient)
+            natural_gradient=opts.natural_gradient,
+            compute_dtype=opts.compute_dtype)
         model = Wav2Vec2TDNNFNet(mcfg, w2v2)
         model_id = "asrbn_tdnnf_wav2vec2"
         extra_params = {"wav2vec2": _dc.asdict(w2v2)}
@@ -182,7 +188,8 @@ def main(argv=None):
 
     topts = ChainTrainOpts(lr=opts.lr_initial, xent_regularize=opts.xent_regularize,
                            l2_regularize=opts.l2_regularize,
-                           leaky_hmm_coefficient=opts.leaky_hmm_coefficient)
+                           leaky_hmm_coefficient=opts.leaky_hmm_coefficient,
+                           compute_dtype=opts.compute_dtype)
     optimizer = make_chain_optimizer(topts, grad_acc_steps=opts.grad_acc_steps)
     state = init_chain_state(model, jax.random.PRNGKey(0),
                              np.zeros((2, 32000), np.float32), optimizer)

@@ -143,12 +143,16 @@ def precondition_directions(state: NGState, X: jnp.ndarray) -> Tuple[NGState, jn
 
 
 def ng_precondition_grad(state_in: NGState, state_out: NGState,
-                         inputs: jnp.ndarray, grad_output: jnp.ndarray):
+                         inputs: jnp.ndarray, grad_output: jnp.ndarray,
+                         compute_dtype: str = "float32"):
     """The reference backward composition (chain/objf.py:181-228):
 
     inputs [N, D_in] (WITHOUT bias column; it is appended here),
     grad_output [N, D_out]. Returns
     (new_state_in, new_state_out, grad_weight [D_out, D_in], grad_bias [D_out]).
+    compute_dtype="bfloat16" runs the big [N]-contracted grad_weight matmul
+    as bf16 MXU with f32 accumulation; the Fisher-basis updates inside
+    precondition_directions stay f32/HIGHEST (precision-sensitive).
     """
     N = inputs.shape[0]
     X = jnp.concatenate([inputs, jnp.ones((N, 1), inputs.dtype)], axis=1)
@@ -160,7 +164,7 @@ def ng_precondition_grad(state_in: NGState, state_out: NGState,
     # (chain/objf.py:221-227), i.e. an effective (in_scale*out_scale)^2 on the
     # raw product — mirrored here for training parity.
     scale = in_scale * out_scale
-    grad_weight = (G_hat.T @ X_hat[:, :-1]) * scale
+    grad_weight = _mm(G_hat.T, X_hat[:, :-1], compute_dtype) * scale
     grad_bias = (G_hat.T @ X_hat[:, -1]) * scale
     return state_in, state_out, grad_weight, grad_bias
 
@@ -185,7 +189,7 @@ def ng_init_arrays(dim: int, rank: int = None) -> Dict[str, jnp.ndarray]:
 
 
 def _state_from_arrays(a: Dict[str, jnp.ndarray], hyper) -> NGState:
-    alpha, nsh, period = hyper
+    alpha, nsh, period = hyper[:3]
     return NGState(W=a["W"], d=a["d"], rho=a["rho"],
                    t=a["t"].astype(jnp.int32), alpha=alpha,
                    num_samples_history=nsh, update_period=period)
@@ -196,6 +200,18 @@ def _arrays_from_state(s: NGState) -> Dict[str, jnp.ndarray]:
             "t": s.t.astype(jnp.float32)}
 
 
+def _mm(a, b, compute_dtype: str):
+    """a @ b; bf16 MXU inputs with f32 accumulation when requested."""
+    if compute_dtype == "bfloat16":
+        return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return a @ b
+
+
+def _hyper_dtype(hyper) -> str:
+    return hyper[3] if len(hyper) > 3 else "float32"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def nat_affine(x2d, weight, bias, in_state, out_state, hyper=(4.0, 2000.0, 4)):
     """y = x2d @ weight.T + bias with NG-SGD-preconditioned weight gradients.
@@ -203,21 +219,26 @@ def nat_affine(x2d, weight, bias, in_state, out_state, hyper=(4.0, 2000.0, 4)):
     x2d [N, D_in]; weight [D_out, D_in] (torch layout); bias [1, D_out];
     in_state/out_state: ng_init_arrays dicts (in_state dim = D_in + 1).
     The cotangents returned for in_state/out_state are the UPDATED states.
+    hyper is static: (alpha, num_samples_history, update_period[, dtype]) —
+    the optional 4th element "bfloat16" runs the three big matmuls (forward,
+    grad_x, grad_weight) as bf16 MXU with f32 accumulation.
     """
-    return x2d @ weight.T + bias[0]
+    return _mm(x2d, weight.T, _hyper_dtype(hyper)) + bias[0]
 
 
 def _nat_affine_fwd(x2d, weight, bias, in_state, out_state, hyper):
-    y = x2d @ weight.T + bias[0]
+    y = _mm(x2d, weight.T, _hyper_dtype(hyper)) + bias[0]
     return y, (x2d, weight, in_state, out_state)
 
 
 def _nat_affine_bwd(hyper, res, g):
     x2d, weight, in_arrays, out_arrays = res
-    grad_x = g @ weight  # from the RAW grad, before preconditioning (objf.py:205-208)
+    dt = _hyper_dtype(hyper)
+    grad_x = _mm(g, weight, dt)  # from the RAW grad, before preconditioning (objf.py:205-208)
     s_in = _state_from_arrays(in_arrays, hyper)
     s_out = _state_from_arrays(out_arrays, hyper)
-    s_in2, s_out2, grad_w, grad_b = ng_precondition_grad(s_in, s_out, x2d, g)
+    s_in2, s_out2, grad_w, grad_b = ng_precondition_grad(s_in, s_out, x2d, g,
+                                                         compute_dtype=dt)
     return (grad_x, grad_w, grad_b[None, :],
             _arrays_from_state(s_in2), _arrays_from_state(s_out2))
 

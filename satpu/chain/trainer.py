@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..models import torchlayers
 from ..models.tdnnf import constrain_orthonormal, find_orthonormal_constraints
 from .objf import DenominatorGraph, chain_objf_and_grad
 
@@ -35,6 +36,11 @@ class ChainTrainOpts:
     leaky_hmm_coefficient: float = 1e-5
     xent_regularize: float = 0.025
     orthonormal_interval: int = 4
+    # "bfloat16" = mixed-precision net forward/backward: TDNNF matmuls via
+    # TDNNFNetConfig.compute_dtype + nat_affine's bf16 hyper, torchlayers
+    # (wav2vec2 front) via autocast; the LF-MMI forward-backward and the
+    # optimizer stay f32 (the FB scans already stream bf16 one-hot matrices)
+    compute_dtype: str = "float32"
 
 
 @flax.struct.dataclass
@@ -103,9 +109,13 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
                 variables["ng_state"] = ng_state
             mutable = ["batch_stats", "aux_loss", "aux_metric"] + (
                 ["vq_stats"] if state.vq_stats else [])
-            (chain_out, xent_out), new_vars = model.apply(
-                variables, wav, train=True, mutable=mutable,
-                rngs={"dropout": rng}, **model_kwargs)
+            cast = (jnp.bfloat16 if opts.compute_dtype == "bfloat16" else None)
+            with torchlayers.autocast(cast):
+                (chain_out, xent_out), new_vars = model.apply(
+                    variables, wav, train=True, mutable=mutable,
+                    rngs={"dropout": rng}, **model_kwargs)
+            chain_out = chain_out.astype(jnp.float32)
+            xent_out = xent_out.astype(jnp.float32)
             loss, metrics = chain_objf_and_grad(
                 chain_out, xent_out, num_graphs, den, num_frames=num_frames,
                 leaky_hmm_coefficient=opts.leaky_hmm_coefficient,

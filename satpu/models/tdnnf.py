@@ -125,7 +125,8 @@ class NaturalAffineTransform(nn.Module):
             out_st = self.variable("ng_state", "out",
                                    lambda: ng_init_arrays(self.out_dim))
             y2d = nat_affine(x.reshape(-1, feat_dim), weight, bias,
-                             in_st.value, out_st.value)
+                             in_st.value, out_st.value,
+                             hyper=(4.0, 2000.0, 4, self.compute_dtype))
             return y2d.reshape(*x.shape[:-1], self.out_dim)
         if self.compute_dtype == "bfloat16":
             y = jnp.einsum("...i,oi->...o", x.astype(jnp.bfloat16),

@@ -67,6 +67,7 @@ class _LayerNorm(nn.Module):
     def __call__(self, x):
         w = self.param("weight", nn.initializers.ones, (self.dim,))
         b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        x = x.astype(jnp.float32)  # f32 op under autocast (torch amp list)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         return (x - mean) / jnp.sqrt(var + self.eps) * w + b
@@ -92,6 +93,7 @@ class FeatureExtractor(nn.Module):
                                name=f"conv_layers_{i}_layer_norm")(h)
             elif i == 0:
                 # GroupNorm with num_groups == channels (per-channel IN over time)
+                h = h.astype(jnp.float32)  # f32 norm under autocast
                 mean = jnp.mean(h, axis=1, keepdims=True)
                 var = jnp.var(h, axis=1, keepdims=True)
                 h = (h - mean) / jnp.sqrt(var + c.layer_norm_eps)
@@ -123,7 +125,9 @@ class SelfAttention(nn.Module):
             return t.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
 
         attn = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k))
-        attn = jax.nn.softmax(attn, axis=-1)
+        # f32 softmax under autocast (torch amp's fp32 list); the QK einsum
+        # itself may run bf16 (Linear outputs) with XLA's f32 accumulation
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v))
         out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
         return Linear(d, d, name="out_proj")(out)

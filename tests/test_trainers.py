@@ -63,6 +63,71 @@ def test_chain_train_step_improves_objf(tmp_path):
     assert objfs[-1] > objfs[0], objfs  # MMI objective increases
 
 
+def test_chain_bf16_policy_tracks_f32(tmp_path):
+    """ChainTrainOpts.compute_dtype="bfloat16" (net matmuls bf16 incl. the
+    NG-SGD nat_affine path, LF-MMI FB f32) must converge like f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from satpu.chain.fst import (Arc, Fst, fst_to_arrays,
+                                 linear_fst_from_pdf_sequence,
+                                 pad_graph_arrays)
+    from satpu.chain.objf import DenominatorGraph
+    from satpu.chain.trainer import (ChainTrainOpts, init_chain_state,
+                                     make_chain_optimizer, make_chain_train_step)
+    from satpu.models.asrbn import TDNNFNet, TDNNFNetConfig
+
+    P = 8
+    den_fst = Fst()
+    s = den_fst.add_state()
+    states = [den_fst.add_state() for _ in range(P)]
+    for j in range(P):
+        den_fst.add_arc(s, Arc(j + 1, j + 1, np.log(P), states[j]))
+    for i in range(P):
+        for j in range(P):
+            den_fst.add_arc(states[i], Arc(j + 1, j + 1, np.log(P), states[j]))
+        den_fst.set_final(states[i], 0.0)
+    den = DenominatorGraph.from_fst(den_fst, num_pdfs=P)
+
+    B, T = 2, 16000
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal((B, T)) * 0.1).astype(np.float32)
+    seqs = [[0, 1, 2], [3, 4, 5]]
+    graphs = pad_graph_arrays([fst_to_arrays(linear_fst_from_pdf_sequence(q))
+                               for q in seqs])
+    graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
+
+    def run(dtype, natural_gradient):
+        cfg = TDNNFNetConfig(output_dim=P, hidden_dim=16, bottleneck_dim=8,
+                             prefinal_bottleneck_dim=8, p_dropout=0.0,
+                             natural_gradient=natural_gradient,
+                             compute_dtype=dtype)
+        model = TDNNFNet(cfg)
+        opts = ChainTrainOpts(lr=0.003, xent_regularize=0.025,
+                              compute_dtype=dtype)
+        optimizer = make_chain_optimizer(opts)
+        state = init_chain_state(model, jax.random.PRNGKey(0), wav, optimizer)
+        n_out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            wav, train=False)[0].shape[1]
+        num_frames = jnp.asarray([n_out, n_out], jnp.int32)
+        step = jax.jit(make_chain_train_step(model, den, optimizer, opts))
+        objfs = []
+        for i in range(6):
+            state, metrics = step(state, wav, graphs, num_frames,
+                                  jax.random.PRNGKey(i))
+            objfs.append(float(metrics["chain_objf"]))
+        return objfs
+
+    for ng in (False, True):
+        f32 = run("float32", ng)
+        bf16 = run("bfloat16", ng)
+        assert np.isfinite(bf16).all(), (ng, bf16)
+        # same starting objf (identical init, bf16 rounding only)
+        assert abs(bf16[0] - f32[0]) < 0.05 * abs(f32[0]) + 0.02, (ng, f32, bf16)
+        assert bf16[-1] > bf16[0], (ng, bf16)  # MMI objective increases
+
+
 def test_asv_train_step_and_validation(tmp_path):
     import jax
 
