@@ -13,7 +13,7 @@ Workloads & shapes (matching README's numbers):
 - chain    : LF-MMI train step, B=16 x 3 s, 3280 pdfs,
              synthetic 1600-state/12800-arc den graph, Adam (recorded 30 ms)
 - gan      : fused D+G step, B=32 x 1.04 s segments         (recorded 395 ms)
-- asv      : ECAPA-512 ArcMargin step, B=128 x 3 s          (recorded 41 ms)
+- asv      : ECAPA-512 ArcMargin step, B=128 x 3 s          (recorded 36.5 ms f32)
 
 v5e peak: 197 TFLOP/s bf16, ~98.5 TFLOP/s fp32 (per chip). cost_analysis
 counts algebraic FLOPs of the lowered HLO (fused elementwise included), so
@@ -37,7 +37,9 @@ RECORDED = {  # hard-synced v5e measurements (README.md)
     "serving": {"audio_sec_per_sec": 2472.0},
     "chain": {"sec_per_step": 0.030},
     "gan": {"sec_per_step": 0.395},
-    "asv": {"sec_per_step": 0.041},
+    # f32 36.5 ms; the bf16 autocast policy (train_asv --compute-dtype
+    # bfloat16) measures 28.8 ms at the same shape
+    "asv": {"sec_per_step": 0.0365},
 }
 
 
