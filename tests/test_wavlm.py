@@ -6,7 +6,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-def _hf_wavlm(stable_layer_norm=True):
+def _hf_wavlm(stable_layer_norm=True, extractor="group"):
     import torch
     from transformers import WavLMConfig as HFConfig
     from transformers import WavLMModel as HFModel
@@ -17,7 +17,8 @@ def _hf_wavlm(stable_layer_norm=True):
         conv_dim=[16, 16, 16], conv_kernel=[10, 3, 2], conv_stride=[5, 2, 2],
         num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
         num_buckets=32, max_bucket_distance=50,
-        do_stable_layer_norm=stable_layer_norm, feat_extract_norm="group",
+        do_stable_layer_norm=stable_layer_norm, feat_extract_norm=extractor,
+        conv_bias=(extractor == "layer"),
         hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
         layerdrop=0.0, apply_spec_augment=False,
     )
@@ -25,7 +26,7 @@ def _hf_wavlm(stable_layer_norm=True):
     return HFModel(cfg).eval()
 
 
-def _satpu_cfg(stable=True):
+def _satpu_cfg(stable=True, extractor="group"):
     from satpu.models.wavlm import WavLMConfig
 
     return WavLMConfig(hidden_size=32, num_hidden_layers=2,
@@ -33,20 +34,24 @@ def _satpu_cfg(stable=True):
                        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2),
                        conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
                        num_conv_pos_embedding_groups=4, num_buckets=32,
-                       max_bucket_distance=50, do_stable_layer_norm=stable)
+                       max_bucket_distance=50, do_stable_layer_norm=stable,
+                       feat_extract_norm=extractor,
+                       conv_bias=(extractor == "layer"))
 
 
-@pytest.mark.parametrize("stable", [True, False])
-def test_wavlm_matches_hf(stable, rng):
+# ("layer", True) is the wavlm-large extractor mode (WavLMConfig.large())
+@pytest.mark.parametrize("stable,extractor",
+                         [(True, "group"), (False, "group"), (True, "layer")])
+def test_wavlm_matches_hf(stable, extractor, rng):
     import torch
 
     from satpu.models.wavlm import WavLMModel, convert_wavlm
 
-    hf = _hf_wavlm(stable)
+    hf = _hf_wavlm(stable, extractor)
     x = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
     with torch.no_grad():
         ref = hf(torch.from_numpy(x)).last_hidden_state.numpy()
-    model = WavLMModel(_satpu_cfg(stable))
+    model = WavLMModel(_satpu_cfg(stable, extractor))
     variables = convert_wavlm(hf.state_dict())
     out = np.asarray(model.apply(variables, x))
     assert out.shape == ref.shape
