@@ -41,6 +41,10 @@ class AnonymizeOpts(cfg.Opts):
     num_procs: int = 1
     # serving compute dtype override (bfloat16 measured ~1.5x on v5e)
     compute_dtype: str = "bfloat16"
+    # shard each batch over ALL local devices (TPU pod slice / multi-chip
+    # host): one process drives N chips, batch_size/N utterances each — the
+    # mesh analog of the reference's per-GPU fan-out (bin/anonymize:82-93)
+    serve_mesh: bool = False
 
 
 def main(argv=None):
@@ -107,6 +111,7 @@ def main(argv=None):
         batch_size=opts.batch_size, f0_transformation=opts.f0_transformation,
         seed=opts.seed, new_datadir_suffix=opts.new_datadir_suffix,
         num_shards=opts.num_shards, shard=opts.shard,
+        serve_mesh=opts.serve_mesh,
         progress_cb=progress)
     logging.info("done: %s", out_dir)
     return 0

@@ -13,6 +13,7 @@ random_per_spk.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import random
@@ -86,6 +87,7 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
                  buckets: Sequence[int] = DEFAULT_BUCKETS, f0_transformation: str = "",
                  seed: int = 0, new_datadir_suffix: str = "_anon",
                  num_shards: int = 1, shard: int = 0,
+                 serve_mesh: bool = False, devices: Optional[Sequence] = None,
                  progress_cb=None) -> str:
     """Anonymize every utterance of ``data_dir``; returns the new data dir.
 
@@ -95,6 +97,12 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
     partial ``wav_shard{k}.scp`` is written; the full ``wav.scp`` is merged
     once all shards are present (reference bin/anonymize:82-93 fans out
     processes; here shards map to hosts).
+
+    ``serve_mesh=True`` shards every batch over ALL local devices (1-D
+    data-parallel ``jax.sharding.Mesh``) — the TPU-pod-slice analog of the
+    reference's per-GPU process fan-out (bin/anonymize:82-93): one process
+    drives N chips, each converting batch_size/N utterances, no collectives
+    in the graph. Requires batch_size % device_count == 0.
     """
     rng = random.Random(seed)
     out_dir = data_dir.rstrip("/") + new_datadir_suffix
@@ -133,18 +141,41 @@ def process_data(model, variables, speakers: List[str], data_dir: str, results_d
         f0_cmvn = SpeakerCMVN.from_meta(f0_speaker_stats)
         f0_cmvn.pass_through = True
 
-    f0_only = jax.jit(model.get_f0)
-
-    @jax.jit
-    def convert(wav_batch, target_ids, f0_key):
+    def _convert(vars_, wav_batch, target_ids, f0_key):
         f0 = model.get_f0(wav_batch)
-        return model.apply(variables, wav_batch, f0, target_ids,
+        return model.apply(vars_, wav_batch, f0, target_ids,
                            method=model.convert, f0_key=f0_key)
 
-    @jax.jit
-    def convert_with_f0(wav_batch, f0, target_ids, f0_key):
-        return model.apply(variables, wav_batch, f0, target_ids,
+    def _convert_with_f0(vars_, wav_batch, f0, target_ids, f0_key):
+        return model.apply(vars_, wav_batch, f0, target_ids,
                            method=model.convert, f0_key=f0_key)
+
+    devices = list(devices) if devices is not None else jax.devices()
+    n_dev = len(devices)
+    if serve_mesh and n_dev > 1:
+        if batch_size % n_dev:
+            raise ValueError(
+                f"serve_mesh needs batch_size ({batch_size}) divisible by "
+                f"the device count ({n_dev})")
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh = Mesh(np.array(devices), ("dp",))
+        bsh = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        variables = jax.device_put(variables, repl)
+        f0_only = jax.jit(model.get_f0, in_shardings=(bsh,), out_shardings=bsh)
+        convert = functools.partial(
+            jax.jit(_convert, in_shardings=(repl, bsh, bsh, repl),
+                    out_shardings=bsh), variables)
+        convert_with_f0 = functools.partial(
+            jax.jit(_convert_with_f0, in_shardings=(repl, bsh, bsh, bsh, repl),
+                    out_shardings=bsh), variables)
+        logging.info("serve_mesh: batches sharded over %d devices", n_dev)
+    else:
+        f0_only = jax.jit(model.get_f0)
+        convert = functools.partial(jax.jit(_convert), variables)
+        convert_with_f0 = functools.partial(jax.jit(_convert_with_f0), variables)
 
     new_wav_scp: Dict[str, str] = {}
     writer = ThreadPoolExecutor(max_workers=4)

@@ -105,6 +105,50 @@ def test_pipeline_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "utt2spk"))
 
 
+def test_pipeline_serve_mesh_matches_single_device(tmp_path):
+    """serve_mesh=True (batch sharded over the 8-device CPU mesh) must write
+    the same waveforms as the single-device path — pure data parallelism,
+    no collectives, same per-utterance graph."""
+    import jax
+
+    from satpu import infer_helper
+    from satpu.bin.pipeline import process_data
+    from satpu.utils import kaldi_data
+
+    cpus = jax.devices("cpu")
+    assert len(cpus) == 8  # conftest's virtual CPU mesh
+    ckpt = _tiny_anon_checkpoint(tmp_path)
+    data_dir = _make_data_dir(tmp_path)
+    model, variables, meta = infer_helper.load_model(ckpt)
+    kwargs = dict(target_selection_algorithm="constant",
+                  target_constant_spkid=meta["speakers"][1],
+                  batch_size=8, buckets=(8000, 16000, 24000),
+                  devices=cpus)
+    out1 = process_data(model, variables, meta["speakers"], data_dir,
+                        str(tmp_path / "wavs_single"),
+                        new_datadir_suffix="_anon_single", **kwargs)
+    out2 = process_data(model, variables, meta["speakers"], data_dir,
+                        str(tmp_path / "wavs_mesh"),
+                        new_datadir_suffix="_anon_mesh", serve_mesh=True,
+                        **kwargs)
+    scp1 = kaldi_data.read_wav_scp(os.path.join(out1, "wav.scp"))
+    scp2 = kaldi_data.read_wav_scp(os.path.join(out2, "wav.scp"))
+    assert scp1.keys() == scp2.keys()
+    for utt in scp1:
+        w1, _ = kaldi_data.load_wav_from_scp(scp1[utt])
+        w2, _ = kaldi_data.load_wav_from_scp(scp2[utt])
+        np.testing.assert_allclose(w1, w2, atol=1e-5)
+
+    # indivisible batch is a clear error, not silent wrong shapes
+    with pytest.raises(ValueError, match="divisible"):
+        process_data(model, variables, meta["speakers"], data_dir,
+                     str(tmp_path / "wavs_bad"), serve_mesh=True,
+                     new_datadir_suffix="_anon_bad", devices=cpus,
+                     target_selection_algorithm="constant",
+                     target_constant_spkid=meta["speakers"][1],
+                     batch_size=6, buckets=(8000,))
+
+
 def test_bucket_for_overflow_rounds_up():
     from satpu.bin.pipeline import bucket_for
 
