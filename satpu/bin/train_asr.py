@@ -202,6 +202,14 @@ def main(argv=None):
         logging.info("init_weight_model %s: %d params transferred, %d skipped%s",
                      opts.init_weight_model, len(matched), len(unmatched),
                      f" ({', '.join(unmatched[:5])}...)" if unmatched else "")
+    # local multi-chip data parallelism: replicate state, shard batches on
+    # the batch dim (collapses the reference's per-GPU job fan-out +
+    # merge-averaging, egs/asr/librispeech/local/chain/train.py:324-408)
+    from ..parallel import (local_data_mesh, pad_batch_to_devices, replicate,
+                            shard_batch)
+
+    mesh = local_data_mesh(opts.minibatch_size)
+
     sampler = BucketBatchSampler(ds, opts.minibatch_size)
     steps_per_epoch = max(len(sampler), 1)
     total_steps = steps_per_epoch * opts.num_epochs
@@ -248,6 +256,10 @@ def main(argv=None):
                           if tstate.get("ng_state") else state.ng_state))
             logging.info("resuming from %s (epoch %d, step %d)", last, start_epoch, steps)
 
+        if mesh is not None:
+            state = replicate(mesh, state)
+            logging.info("data-parallel mesh over %d devices", mesh.devices.size)
+
         def run_diagnostics(epoch, steps, metrics):
             logging.info("epoch %d step %d objf %.4f (num %.3f den %.3f) lr %.5f",
                          epoch, steps, float(metrics["chain_objf"]),
@@ -266,11 +278,28 @@ def main(argv=None):
             with profile_steps(opts.dirname):
                 for batch_idx in sampler:
                     wavs, graphs, frames, _ = ds.load_batch(batch_idx)
-                    graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
                     kw = {}
                     if spk_index is not None:
                         wavs_utts = [spk_index.get(u, 0) for u in _]
-                        kw["spk_target"] = jnp.asarray(wavs_utts, jnp.int32)
+                        kw["spk_target"] = np.asarray(wavs_utts, np.int32)
+                    if mesh is not None:
+                        # DDP-style repeat-padding: exact-length tail buckets
+                        # may be smaller than minibatch_size; pad to a
+                        # multiple of the device count by repeating entries
+                        B, n = len(frames), mesh.devices.size
+                        if B % n:
+                            sel = np.arange(pad_batch_to_devices(B, n)) % B
+                            wavs = wavs[sel]
+                            frames = np.asarray(frames)[sel]
+                            graphs = {k: np.asarray(v)[sel]
+                                      for k, v in graphs.items()}
+                            if "spk_target" in kw:
+                                kw["spk_target"] = kw["spk_target"][sel]
+                        wavs, graphs, frames, kw = shard_batch(
+                            mesh, (wavs, graphs, np.asarray(frames), kw))
+                    graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
+                    if "spk_target" in kw:
+                        kw["spk_target"] = jnp.asarray(kw["spk_target"])
                     state, metrics = step_fn(state, wavs, graphs, jnp.asarray(frames),
                                              jax.random.PRNGKey(steps), **kw)
                     steps += 1

@@ -130,6 +130,16 @@ def main(argv=None):
             logging.info("resuming from %s (epoch %d, best EER %.2f%% @ %d)",
                          last_trainer, start_epoch, monitor.best_eer * 100,
                          monitor.best_epoch)
+        # local multi-chip data parallelism: replicate state, shard batches
+        # (the reference's torchrun DDP launch, sidekit/model.py:248-252)
+        from ..parallel import local_data_mesh, replicate, shard_batch
+
+        mesh = local_data_mesh(opts.minibatch_size)
+        if mesh is not None:
+            state = replicate(mesh, state)
+            logging.info("data-parallel mesh over %d devices",
+                         mesh.devices.size)
+
         sampler = SideSampler(side.chunk_speakers, len(speakers),
                               opts.examples_per_speaker, opts.samples_per_speaker,
                               opts.minibatch_size, seed=opts.seed)
@@ -142,6 +152,8 @@ def main(argv=None):
                 # fresh key per batch: one key per epoch made every SpecAugment
                 # mask identical across the epoch's steps (round-1 weak #10)
                 step_key, sub = jax.random.split(step_key)
+                if mesh is not None:
+                    wav, spk = shard_batch(mesh, (wav, spk))
                 state, metrics = step(state, wav, spk, sub)
                 losses.append(float(metrics["loss"]))
             # quick validation on a slice of chunks

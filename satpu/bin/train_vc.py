@@ -185,13 +185,23 @@ def main(argv=None):
     local_bs = (multihost.host_local_batch_size(opts.minibatch_size, nproc)
                 if nproc > 1 else opts.minibatch_size)
     mesh = None
-    if nproc > 1:
+    if nproc > 1 or len(jax.devices()) > 1:
+        # multi-host DP (nproc > 1) or single-host multi-chip DP: one global
+        # 1-D mesh; global_batch_from_host_local degenerates to shard_batch
+        # in the single-process case (the reference's torchrun DDP launch,
+        # hifigan/model.py:231-264)
         from ..parallel import make_mesh
 
-        mesh = make_mesh(n_data=len(jax.devices()))
+        n_dev = len(jax.devices())
+        if opts.minibatch_size % n_dev:
+            raise ValueError(
+                f"minibatch_size {opts.minibatch_size} must be divisible by "
+                f"the global device count {n_dev} for data-parallel training")
+        mesh = make_mesh(n_data=n_dev)
         state = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec())), state)
+        logging.info("data-parallel mesh over %d devices", n_dev)
 
     dev_ds = None
     if opts.dev_set:

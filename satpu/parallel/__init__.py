@@ -2,6 +2,7 @@ from .mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
     data_sharding,
+    local_data_mesh,
     make_mesh,
     pad_batch_to_devices,
     replicate,

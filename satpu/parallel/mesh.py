@@ -54,3 +54,23 @@ def replicate(mesh: Mesh, tree):
 def pad_batch_to_devices(batch_size: int, n_data: int) -> int:
     """Smallest multiple of n_data >= batch_size (static-shape friendly)."""
     return ((batch_size + n_data - 1) // n_data) * n_data
+
+
+def local_data_mesh(batch_size: int,
+                    devices: Optional[Sequence] = None) -> Optional[Mesh]:
+    """1-D data mesh over all local devices, or None on a single device.
+
+    The training CLIs call this so a multi-chip host (TPU pod slice) trains
+    data-parallel out of the box — the mesh replacement for the reference's
+    torchrun-per-GPU DDP launch. Raises when the minibatch doesn't divide
+    the device count (a silent single-chip fallback would be the real bug).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < 2:
+        return None
+    if batch_size % len(devices):
+        raise ValueError(
+            f"minibatch size {batch_size} must be divisible by the local "
+            f"device count {len(devices)} for data-parallel training "
+            f"(pad to {pad_batch_to_devices(batch_size, len(devices))})")
+    return make_mesh(n_data=len(devices), devices=devices)

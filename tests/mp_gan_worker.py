@@ -21,6 +21,14 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 
 import jax  # noqa: E402
 
+# persistent compile cache: without it each worker recompiles the GAN step
+# (~minutes on a 1-core host), which is what the 480 s timeout guards
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SATPU_TEST_JAX_CACHE",
+                                 "/tmp/satpu_test_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -74,8 +74,8 @@ def test_train_asv_driver_smoke(tmp_path, monkeypatch):
     assert rc == 0
 
 
-def test_train_asr_driver_smoke(tmp_path):
-    from satpu.bin import train_asr
+def _make_asr_fixture(tmp_path, n_utts=4):
+    """Tiny chain training fixture: data dir + numerator fst scp + den.fst."""
     from satpu.chain.fst import Arc, Fst, linear_fst_from_pdf_sequence
     from satpu.utils import kaldi_data
 
@@ -86,7 +86,7 @@ def test_train_asr_driver_smoke(tmp_path):
     wav_scp, u2l, fst_lines = {}, {}, []
     ark = str(tmp_path / "fsts.ark")
     with open(ark, "wb") as f:
-        for i in range(4):
+        for i in range(n_utts):
             T = 16000
             utt = f"utt{i}"
             x = (rng.standard_normal(T) * 0.1).astype(np.float32)
@@ -114,16 +114,80 @@ def test_train_asr_driver_smoke(tmp_path):
         den.set_final(sts[i], 0.0)
     den_path = str(tmp_path / "den.fst")
     den.write(den_path)
+    return d, str(tmp_path / "fst.scp"), den_path, P
 
+
+def test_train_asr_driver_smoke(tmp_path):
+    from satpu.bin import train_asr
+
+    d, fst_scp, den_path, P = _make_asr_fixture(tmp_path)
     exp = str(tmp_path / "exp_chain")
     rc = train_asr.main([
-        "--train-set", d, "--fst-scp", str(tmp_path / "fst.scp"),
+        "--train-set", d, "--fst-scp", fst_scp,
         "--den-fst", den_path, "--num-pdfs", str(P), "--dirname", exp,
         "--minibatch-size", "2", "--num-epochs", "1",
         "--checkpoint-interval", "2", "--diagnostics-interval", "1",
         "--model", "tdnnf", "--hidden-dim", "16", "--bottleneck-dim", "8", "--prefinal-bottleneck-dim", "8",
     ])
     assert rc == 0
+    assert os.path.exists(os.path.join(exp, "final.ckpt"))
+
+
+def _mesh_cli_env():
+    import os as _os
+
+    env = dict(_os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # skip the axon plugin in subprocesses
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["SATPU_JAX_CACHE"] = env.get("SATPU_TEST_JAX_CACHE",
+                                     "/tmp/satpu_test_jax_cache")
+    return env
+
+
+def test_train_asv_driver_local_mesh(tmp_path):
+    """The train_asv CLI engages single-host multi-chip DP automatically:
+    on 8 visible devices it replicates state and shards batches."""
+    import subprocess
+    import sys
+
+    d = _make_asv_dir(tmp_path)
+    exp = str(tmp_path / "exp_mesh")
+    r = subprocess.run(
+        [sys.executable, "-m", "satpu.bin.train_asv",
+         "--train-set", d, "--dirname", exp, "--arch", "ecapa",
+         "--duration", "1.0", "--samples-per-speaker", "2",
+         "--examples-per-speaker", "2", "--minibatch-size", "8",
+         "--epochs", "1", "--channels", "32", "--embedding-size", "16"],
+        env=_mesh_cli_env(), cwd=os.path.dirname(os.path.dirname(__file__)),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=560)
+    out = r.stdout.decode()
+    assert r.returncode == 0, out[-3000:]
+    assert "data-parallel mesh over 8 devices" in out, out[-3000:]
+    assert os.path.exists(os.path.join(exp, "0.ckpt"))
+
+
+def test_train_asr_driver_local_mesh(tmp_path):
+    """train_asr on 8 devices: mesh DP incl. DDP-style repeat-padding of
+    exact-length tail buckets (minibatch 8, 6 utts -> one padded batch)."""
+    import subprocess
+    import sys
+
+    d, fst_scp, den_path, P = _make_asr_fixture(tmp_path, n_utts=6)
+    exp = str(tmp_path / "exp_chain_mesh")
+    r = subprocess.run(
+        [sys.executable, "-m", "satpu.bin.train_asr",
+         "--train-set", d, "--fst-scp", fst_scp,
+         "--den-fst", den_path, "--num-pdfs", str(P), "--dirname", exp,
+         "--minibatch-size", "8", "--num-epochs", "1",
+         "--checkpoint-interval", "2", "--diagnostics-interval", "1",
+         "--model", "tdnnf", "--hidden-dim", "16", "--bottleneck-dim", "8",
+         "--prefinal-bottleneck-dim", "8"],
+        env=_mesh_cli_env(), cwd=os.path.dirname(os.path.dirname(__file__)),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=560)
+    out = r.stdout.decode()
+    assert r.returncode == 0, out[-3000:]
+    assert "data-parallel mesh over 8 devices" in out, out[-3000:]
     assert os.path.exists(os.path.join(exp, "final.ckpt"))
 
 
