@@ -52,6 +52,8 @@ class EvalOpts(cfg.Opts):
     trials: str = ""  # "spk utt target|nontarget" lines
     cohort_dir: str = ""
     cohort_size: int = 400  # top-N cohort utterances (reference asnorm top-400)
+    # shard loglike batches over all local devices (see anonymize serve_mesh)
+    serve_mesh: bool = False
     xvector_mode: str = "chunked"  # "full" = reference batch=1 full-utterance
                                    # extraction protocol (objf.py:228-258)
     ece_plot: bool = False  # write results/ece.png (reference ece_plot,
@@ -93,11 +95,35 @@ def evaluate_asr(opts) -> dict:
 
     takes_len = "lengths" in inspect.signature(model.__call__).parameters
 
-    @jax.jit
-    def loglikes(w, lens):
+    def _loglikes(v, w, lens):
         kw = {"lengths": lens} if takes_len else {}
-        chain_out, _ = model.apply(variables, w, train=False, **kw)
+        chain_out, _ = model.apply(v, w, train=False, **kw)
         return chain_out
+
+    import functools
+
+    n_dev = len(jax.devices())
+    if opts.serve_mesh and n_dev > 1:
+        # batch-sharded loglikes over all local chips (same data-parallel
+        # serving mesh as anonymize --serve-mesh)
+        if opts.batch_size % n_dev:
+            raise ValueError(
+                f"serve_mesh needs batch_size ({opts.batch_size}) divisible "
+                f"by the device count ({n_dev})")
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        bsh = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        variables = jax.device_put(variables, repl)
+        loglikes = functools.partial(
+            jax.jit(_loglikes, in_shardings=(repl, bsh, bsh),
+                    out_shardings=bsh), variables)
+        logging.info("serve_mesh: loglike batches sharded over %d devices",
+                     n_dev)
+    else:
+        loglikes = functools.partial(jax.jit(_loglikes), variables)
 
     # bucketed static-shape batches: load lengths, sort, pad (B, bucket)
     entries = []

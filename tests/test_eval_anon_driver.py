@@ -27,17 +27,14 @@ def _write_arpa(path, vocab):
     return path
 
 
-@pytest.mark.parametrize("rescore_mode", ["exact", "nbest"])
-def test_eval_anon_asr_driver(tmp_path, rescore_mode):
-    from satpu import infer_helper, native
-    from satpu.bin import eval_anon
+def _make_eval_fixture(tmp_path):
+    """Decode graph + tiny ASR ckpt + 3-utt data dir + big ARPA; returns
+    (graph_path, words_path, ckpt, data_dir, arpa)."""
+    from satpu import infer_helper
     from satpu.chain.prep import (BiphoneTree, Lexicon, estimate_word_bigram,
                                   make_decode_graph, text_to_phones)
     from satpu.models.asrbn import TDNNFNetConfig, TDNNFNet
     from satpu.utils import kaldi_data
-
-    if not native.available():
-        pytest.skip("native decoder unavailable")
 
     # ---- decode graph over a toy grapheme lexicon ----
     texts = [t.split() for t in ("ab ba", "ba ab", "ab ab ba")]
@@ -88,7 +85,18 @@ def test_eval_anon_asr_driver(tmp_path, rescore_mode):
     kaldi_data.write_keyed_text(ref, str(data / "text"))
 
     arpa = _write_arpa(str(tmp_path / "big.arpa"), ["ab", "ba"])
+    return graph_path, words_path, ckpt, str(data), arpa
 
+
+@pytest.mark.parametrize("rescore_mode", ["exact", "nbest"])
+def test_eval_anon_asr_driver(tmp_path, rescore_mode):
+    from satpu import native
+    from satpu.bin import eval_anon
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+
+    graph_path, words_path, ckpt, data, arpa = _make_eval_fixture(tmp_path)
     results = tmp_path / "results"
     rc = eval_anon.main([
         "--data", str(data), "--asr-checkpoint", ckpt,
@@ -103,3 +111,37 @@ def test_eval_anon_asr_driver(tmp_path, rescore_mode):
     assert out["asr"]["words"] == 7
     assert (results / "hyp.ctm").exists()
     assert (tmp_path / "ll.scp").exists()
+
+
+def test_eval_anon_serve_mesh(tmp_path):
+    """eval_anon --serve-mesh shards loglike batches over the 8-device CPU
+    mesh (subprocess: the in-process default backend is the single TPU)."""
+    import subprocess
+    import sys
+
+    from satpu import native
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+
+    graph_path, words_path, ckpt, data, arpa = _make_eval_fixture(tmp_path)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["SATPU_JAX_CACHE"] = env.get("SATPU_TEST_JAX_CACHE",
+                                     "/tmp/satpu_test_jax_cache")
+    results = tmp_path / "results_mesh"
+    r = subprocess.run(
+        [sys.executable, "-m", "satpu.bin.eval_anon",
+         "--data", data, "--asr-checkpoint", ckpt,
+         "--decode-graph", graph_path, "--words-txt", words_path,
+         "--rescore-lm", arpa, "--batch-size", "8", "--serve-mesh", "true",
+         "--results", str(results)],
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=560)
+    out = r.stdout.decode()
+    assert r.returncode == 0, out[-3000:]
+    assert "serve_mesh: loglike batches sharded over 8 devices" in out, out[-2000:]
+    res = json.load(open(results / "results.json"))
+    assert np.isfinite(res["asr"]["wer"])
