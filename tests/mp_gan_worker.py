@@ -84,7 +84,15 @@ def main():
     batch = global_batch_from_host_local(mesh, local)
     state = replicate_global(mesh, state)
 
-    new_state, metrics = jax.jit(step)(state, batch)
+    # Compile is process-local and can take minutes on a loaded 1-core host;
+    # gloo's collective rendezvous times out at 30 s. AOT-compile first, then
+    # rendezvous at a coordination-service barrier (long timeout) so both
+    # workers enter the collective execution together.
+    compiled = jax.jit(step).lower(state, batch).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("mp_gan_compiled", 600_000)
+    new_state, metrics = compiled(state, batch)
     result = {"process": pid,
               "loss_gen_all": float(metrics["loss_gen_all"]),
               "loss_disc_all": float(metrics["loss_disc_all"]),
@@ -92,6 +100,15 @@ def main():
     with open(out_path, "w") as f:
         json.dump(result, f)
     print("worker", pid, "ok", result, flush=True)
+    # Explicit rendezvoused shutdown right after the (collective) step: the
+    # implicit atexit shutdown barrier can time out when one worker's exit
+    # path is slower on a loaded 1-core CI host. Shutdown cleanliness is not
+    # what this test asserts, so a barrier timeout here must not fail it.
+    try:
+        jax.distributed.shutdown()
+    except Exception as e:  # pragma: no cover - timing dependent
+        print("worker", pid, "shutdown barrier skipped:", e, flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":
