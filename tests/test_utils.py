@@ -239,3 +239,60 @@ def test_feature_cache_signature_isolation(tmp_path):
     # unsignatured caches keep the legacy file name
     c = FeatureCache(d, "get_bn")
     assert c.get("utt1") is None
+
+
+def test_preprocess_audio_dir(tmp_path):
+    """preprocess_audio (reference egs/vc/libritts/local/preprocess.py):
+    24 kHz -> 16 kHz resample, silence trim, pad to the 1280-sample hop LCM."""
+    from satpu.bin.preprocess_audio import preprocess_dir, trim_silence
+    from satpu.utils import kaldi_data
+
+    d = str(tmp_path / "raw")
+    os.makedirs(d)
+    sr = 24000
+    t = np.arange(sr * 2) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    sig = np.concatenate([np.zeros(sr // 2, np.float32), tone,
+                          np.zeros(sr // 2, np.float32)])
+    p = str(tmp_path / "a.wav")
+    kaldi_data.write_wav(p, sig, sr)
+    kaldi_data.write_keyed_text({"utt0": p}, os.path.join(d, "wav.scp"))
+    kaldi_data.write_keyed_text({"utt0": "spk0"}, os.path.join(d, "utt2spk"))
+
+    out = preprocess_dir(d, str(tmp_path / "proc"), sample_rate=16000,
+                         trim=True, pad=True)
+    scp = kaldi_data.read_wav_scp(os.path.join(out, "wav.scp"))
+    wav, rate = kaldi_data.load_wav_from_scp(scp["utt0"])
+    assert rate == 16000
+    assert wav.shape[1] % 1280 == 0
+    # the second of leading+trailing silence is mostly gone (pad adds < 1280)
+    assert wav.shape[1] < int(2.4 * 16000)
+    assert wav.shape[1] >= int(1.9 * 16000)
+    # trim keeps a pure tone intact
+    x = np.sin(np.linspace(0, 100, 8000)).astype(np.float32)
+    assert len(trim_silence(x, 20.0)) >= 8000 - 2048
+
+
+def test_diff_checkpoints(tmp_path):
+    """diff_checkpoints (reference shutil/diff_models_weights.py): reports
+    the tensors that differ between two checkpoints."""
+    import io
+
+    from satpu import infer_helper
+    from satpu.bin.diff_checkpoints import diff_checkpoints
+
+    va = {"params": {"lin": {"weight": np.ones((3, 3), np.float32),
+                             "bias": np.zeros((3,), np.float32)}},
+          "batch_stats": {"bn": {"mean": np.zeros((3,), np.float32)}}}
+    vb = {"params": {"lin": {"weight": np.ones((3, 3), np.float32) * 2.0,
+                             "bias": np.zeros((3,), np.float32)}},
+          "batch_stats": {"bn": {"mean": np.ones((3,), np.float32)}}}
+    pa, pb = str(tmp_path / "a.ckpt"), str(tmp_path / "b.ckpt")
+    infer_helper.save_model(pa, "m", {}, va)
+    infer_helper.save_model(pb, "m", {}, vb)
+    buf = io.StringIO()
+    n = diff_checkpoints(pa, pb, out=buf)
+    assert n == 1  # weight differs; bias equal; batch_stats skipped
+    text = buf.getvalue()
+    assert "lin.weight" in text and "False" in text
+    assert "batch_stats" not in text
