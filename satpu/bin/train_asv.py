@@ -34,6 +34,12 @@ class TrainAsvOpts(cfg.Opts):
     minibatch_size: int = 128
     lr: float = 1e-3
     weight_decay: float = 2e-5
+    # ArcMargin head decays 10x harder, as in the reference recipes
+    # (tuning/ecapa_tdnn.py:59)
+    head_weight_decay: float = 2e-4
+    # "one_cycle" (the reference recipe's OneCycleLR, configs/ecapa_tdnn:35)
+    # or "constant"
+    lr_schedule: str = "one_cycle"
     epochs: int = 100
     patience: int = 10
     fine_tune: bool = False  # raises ArcMargin m to 0.4, disables specaug
@@ -78,12 +84,23 @@ def main(argv=None):
                          channels=opts.channels, embedding_size=opts.embedding_size,
                          spec_augment=not opts.fine_tune)
     model = build_xvector(xcfg)
-    optimizer = make_asv_optimizer(lr=opts.lr, weight_decay=opts.weight_decay)
+    optimizer = make_asv_optimizer(lr=opts.lr, weight_decay=opts.weight_decay,
+                                   head_weight_decay=opts.head_weight_decay)
     dur = int(opts.duration * 16000)
     state = init_asv_state(model, jax.random.PRNGKey(opts.seed),
                            np.zeros((2, dur), np.float32), optimizer)
     arc_m = 0.4 if opts.fine_tune else None
+    lr_schedule = None
+    if opts.lr_schedule == "one_cycle":
+        # the reference recipe's OneCycleLR (configs/ecapa_tdnn:35, max_lr=lr)
+        from ..utils.schedules import one_cycle
+
+        steps_per_epoch = max(
+            (len(speakers) * opts.samples_per_speaker) // opts.minibatch_size, 1)
+        lr_schedule = one_cycle(opts.lr, steps_per_epoch * opts.epochs,
+                                div_factor=4.0)
     step = jax.jit(make_asv_train_step(model, optimizer, arc_m=arc_m,
+                                       lr_schedule=lr_schedule,
                                        compute_dtype=opts.compute_dtype))
 
     if opts.init_weight_model:

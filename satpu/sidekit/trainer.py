@@ -39,9 +39,31 @@ class AsvTrainState:
 
 
 def make_asv_optimizer(lr: float = 1e-3, weight_decay: float = 2e-5,
+                       head_weight_decay: float = 2e-4,
                        schedule: Optional[Callable[[int], float]] = None):
-    return optax.inject_hyperparams(optax.adamw)(learning_rate=lr,
-                                                 weight_decay=weight_decay)
+    """AdamW with per-section weight decay like the reference recipes
+    (tuning/ecapa_tdnn.py:55-106 set_lr_weight_decay_layers_for_optim):
+    trunk sections decay at ``weight_decay`` (2e-5), the ArcMargin head
+    (``after_speaker_embedding``) at ``head_weight_decay`` (2e-4)."""
+
+    def _mask(head: bool):
+        def mask(params):
+            return {k: jax.tree_util.tree_map(
+                lambda _: k.startswith("after_speaker_embedding") == head, v)
+                for k, v in params.items()}
+        return mask
+
+    @optax.inject_hyperparams
+    def opt(learning_rate):
+        # = torch AdamW decomposed so the two decay groups compose
+        return optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(weight_decay, mask=_mask(False)),
+            optax.add_decayed_weights(head_weight_decay, mask=_mask(True)),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+
+    return opt(learning_rate=lr)
 
 
 def init_asv_state(model, rng, example_wav, optimizer) -> AsvTrainState:

@@ -43,18 +43,22 @@ def get_learning_rate(it: int, num_jobs: int, num_iters: int,
 def one_cycle(lr_max: float, total_steps: int, pct_start: float = 0.3,
               div_factor: float = 25.0, final_div_factor: float = 1e4) -> Callable[[int], float]:
     """OneCycleLR (reference lr_scheduler.py:8-55 wraps torch's; cosine
-    annealing variant)."""
+    annealing variant). Traceable: accepts python ints or jnp step arrays
+    so it can drive in-graph lr injection inside a jitted train step."""
+    import jax.numpy as jnp
+
     lr_start = lr_max / div_factor
     lr_end = lr_start / final_div_factor
     up_steps = max(int(total_steps * pct_start), 1)
     down_steps = max(total_steps - up_steps, 1)
 
-    def schedule(step: int) -> float:
-        if step < up_steps:
-            pct = step / up_steps
-            return lr_start + (lr_max - lr_start) * (1 - math.cos(math.pi * pct)) / 2
-        pct = min((step - up_steps) / down_steps, 1.0)
-        return lr_end + (lr_max - lr_end) * (1 + math.cos(math.pi * pct)) / 2
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        up_pct = jnp.minimum(step / up_steps, 1.0)
+        up = lr_start + (lr_max - lr_start) * (1 - jnp.cos(jnp.pi * up_pct)) / 2
+        down_pct = jnp.clip((step - up_steps) / down_steps, 0.0, 1.0)
+        down = lr_end + (lr_max - lr_end) * (1 + jnp.cos(jnp.pi * down_pct)) / 2
+        return jnp.where(step < up_steps, up, down)
 
     return schedule
 

@@ -315,3 +315,48 @@ def test_chain_grad_accumulation(rng):
         lambda a, b: np.abs(np.asarray(a - b)).max(), s2.params, s1.params)))
     assert moved2 > 0.0, "params did not move on the k-th step"
     assert np.isclose(float(m["lr"]), 0.01)
+
+
+def test_asv_optimizer_recipe_parity():
+    """Reference recipe details (tuning/ecapa_tdnn.py:55-106, configs/
+    ecapa_tdnn:29-40): the ArcMargin head decays at 2e-4 vs 2e-5 for the
+    trunk, and OneCycleLR drives the lr."""
+    import jax
+    import jax.numpy as jnp
+
+    from satpu.sidekit.trainer import (init_asv_state, make_asv_optimizer,
+                                       make_asv_train_step)
+    from satpu.sidekit.xvector import XVectorConfig, build_xvector
+    from satpu.utils.schedules import one_cycle
+
+    cfg = XVectorConfig(num_speakers=4, channels=32, embedding_size=16,
+                        spec_augment=False)
+    model = build_xvector(cfg)
+    # exaggerated head decay: with lr fixed and zero-ish gradients the head
+    # weight must shrink much faster than the trunk
+    optimizer = make_asv_optimizer(lr=1e-2, weight_decay=0.0,
+                                   head_weight_decay=50.0)
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal((4, 8000)) * 0.1).astype(np.float32)
+    target = np.arange(4, dtype=np.int32)
+    state = init_asv_state(model, jax.random.PRNGKey(0), wav, optimizer)
+    sched = one_cycle(1e-3, 10)
+    step = jax.jit(make_asv_train_step(model, optimizer, lr_schedule=sched))
+    head0 = float(jnp.linalg.norm(
+        state.params["after_speaker_embedding"]["weight"]))
+    trunk_key = "before_speaker_embedding_lin"
+    trunk0 = float(jnp.linalg.norm(state.params[trunk_key]["weight"]))
+    for i in range(3):
+        state, metrics = step(state, wav, target, jax.random.PRNGKey(i))
+    head1 = float(jnp.linalg.norm(
+        state.params["after_speaker_embedding"]["weight"]))
+    trunk1 = float(jnp.linalg.norm(state.params[trunk_key]["weight"]))
+    assert head1 < 0.97 * head0, (head0, head1)  # decayed hard
+    assert trunk1 > 0.9 * trunk0, (trunk0, trunk1)  # barely moved
+
+    # schedule shape: warmup to max at 30%, anneal to ~0
+    s = one_cycle(1.0, 100, div_factor=4.0)
+    assert abs(float(s(30)) - 1.0) < 1e-6
+    assert float(s(0)) == pytest.approx(0.25, rel=1e-3)
+    assert float(s(100)) < 0.01
+    assert float(s(jnp.asarray(30))) == pytest.approx(1.0)  # traceable
