@@ -37,9 +37,11 @@ class TrainAsvOpts(cfg.Opts):
     # ArcMargin head decays 10x harder, as in the reference recipes
     # (tuning/ecapa_tdnn.py:59)
     head_weight_decay: float = 2e-4
-    # "one_cycle" (the reference recipe's OneCycleLR, configs/ecapa_tdnn:35)
-    # or "constant"
+    # "one_cycle" (the reference recipe's OneCycleLR, configs/ecapa_tdnn:35),
+    # "exponential" (per-epoch gamma decay, the fine-tune recipe's
+    # ExponentialLR, configs/ecapa_tdnn_fine_tune:35), or "constant"
     lr_schedule: str = "one_cycle"
+    lr_gamma: float = 0.2  # "exponential" per-epoch factor
     epochs: int = 100
     patience: int = 10
     fine_tune: bool = False  # raises ArcMargin m to 0.4, disables specaug
@@ -91,14 +93,22 @@ def main(argv=None):
                            np.zeros((2, dur), np.float32), optimizer)
     arc_m = 0.4 if opts.fine_tune else None
     lr_schedule = None
+    steps_per_epoch = max(
+        (len(speakers) * opts.samples_per_speaker) // opts.minibatch_size, 1)
     if opts.lr_schedule == "one_cycle":
         # the reference recipe's OneCycleLR (configs/ecapa_tdnn:35, max_lr=lr)
         from ..utils.schedules import one_cycle
 
-        steps_per_epoch = max(
-            (len(speakers) * opts.samples_per_speaker) // opts.minibatch_size, 1)
         lr_schedule = one_cycle(opts.lr, steps_per_epoch * opts.epochs,
                                 div_factor=4.0)
+    elif opts.lr_schedule == "exponential":
+        # fine-tune recipe's per-epoch ExponentialLR
+        # (configs/ecapa_tdnn_fine_tune:35, gamma=0.2)
+        import jax.numpy as jnp
+
+        lr_schedule = (lambda step:
+                       opts.lr * opts.lr_gamma ** (step // steps_per_epoch)
+                       .astype(jnp.float32))
     step = jax.jit(make_asv_train_step(model, optimizer, arc_m=arc_m,
                                        lr_schedule=lr_schedule,
                                        compute_dtype=opts.compute_dtype))
