@@ -76,6 +76,11 @@ class TrainAsrOpts(cfg.Opts):
     # f32), the chain analog of the reference's wav2vec2 autocast
     # (tuning/tdnnf_wav2vec2_vq.py:295)
     compute_dtype: str = "float32"
+    # inline lenient JSON or a .json path (reference configs/tdnnf_bn:40-56):
+    # {"pipeline": ["add_reverb", "add_noise", "phone_filtering", "codec"],
+    #  "aug_number": 1, "add_noise": {"noise_db_csv": "data/musan.csv"},
+    #  "add_reverb": {"rir_db_csv": "data/reverb.csv"}}
+    augmentation: str = ""
 
 
 def main(argv=None):
@@ -110,9 +115,16 @@ def main(argv=None):
     os.makedirs(opts.dirname, exist_ok=True)
     den = DenominatorGraph.from_fst(Fst.read(opts.den_fst), num_pdfs=opts.num_pdfs)
     norm_fst = opts.normalization_fst or None
+    from ..ops.augment import load_augmentation
+
+    aug, noise_db, rir_db = load_augmentation(opts.augmentation)
+    if aug:
+        logging.info("augmentation: %s (x%d)", aug.get("pipeline"),
+                     aug.get("aug_number", 1))
     ds = EgsDataset(os.path.join(opts.train_set, "wav.scp"), opts.fst_scp,
                     os.path.join(opts.train_set, "utt2len"),
                     normalization_fst=norm_fst,
+                    transform_pipeline=aug, noise_db=noise_db, rir_db=rir_db,
                     trans_mdl=opts.trans_mdl or None)
     removed = ds.filter_min_path()
     logging.info("egs: %d utts (%d removed by min-path check)", len(ds), removed)

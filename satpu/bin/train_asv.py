@@ -42,6 +42,11 @@ class TrainAsvOpts(cfg.Opts):
     # ExponentialLR, configs/ecapa_tdnn_fine_tune:35), or "constant"
     lr_schedule: str = "one_cycle"
     lr_gamma: float = 0.2  # "exponential" per-epoch factor
+    # inline lenient JSON or a .json path (reference configs/tdnnf_bn:40-56):
+    # {"pipeline": ["add_reverb", "add_noise", "phone_filtering", "codec"],
+    #  "aug_number": 1, "add_noise": {"noise_db_csv": "data/musan.csv"},
+    #  "add_reverb": {"rir_db_csv": "data/reverb.csv"}}
+    augmentation: str = ""
     epochs: int = 100
     patience: int = 10
     fine_tune: bool = False  # raises ArcMargin m to 0.4, disables specaug
@@ -77,8 +82,16 @@ def main(argv=None):
     from ..sidekit.xvector import XVectorConfig, build_xvector
 
     os.makedirs(opts.dirname, exist_ok=True)
+    from ..ops.augment import load_augmentation
+
+    aug, noise_db, rir_db = load_augmentation(opts.augmentation)
+    if aug:
+        logging.info("augmentation: %s (x%d)", aug.get("pipeline"),
+                     aug.get("aug_number", 1))
     side = SideSet.from_data_dir(opts.train_set, duration=opts.duration,
-                                 random_shift=not opts.fine_tune)
+                                 random_shift=not opts.fine_tune,
+                                 transform_pipeline=aug, noise_db=noise_db,
+                                 rir_db=rir_db)
     speakers = side.speakers
     logging.info("%d chunks over %d speakers", len(side), len(speakers))
 

@@ -158,6 +158,41 @@ def data_augmentation(speech: np.ndarray, transform_dict: Dict, sample_rate: int
     return speech
 
 
+def load_augmentation(value: str):
+    """Parse a driver ``augmentation`` option into
+    ``(transform_dict, noise_db, rir_db)`` ready for the datasets.
+
+    ``value`` is either inline lenient JSON (the reference's config style,
+    configs/tdnnf_bn:40-56, trailing commas tolerated like utils.fix_json)
+    or a path to a .json file with the same contents. ``add_noise.noise_db_csv``
+    / ``add_reverb.rir_db_csv`` point at prepare_aug outputs; their sibling
+    ``.json`` databases are loaded here.
+    """
+    import json
+    import os
+    import re
+
+    if not value:
+        return None, None, None
+    text = value
+    if not value.lstrip().startswith("{"):
+        with open(value) as f:
+            text = f.read()
+    text = re.sub(r"//[^\n]*", "", text)
+    text = re.sub(r",\s*([}\]])", r"\1", text)  # trailing commas
+    cfg = json.loads(text)
+    noise_db = rir_db = None
+    ncsv = cfg.get("add_noise", {}).get("noise_db_csv", "")
+    if ncsv:
+        with open(os.path.splitext(ncsv)[0] + ".json") as f:
+            noise_db = json.load(f)
+    rcsv = cfg.get("add_reverb", {}).get("rir_db_csv", "")
+    if rcsv:
+        with open(os.path.splitext(rcsv)[0] + ".json") as f:
+            rir_db = json.load(f)
+    return cfg, noise_db, rir_db
+
+
 def spec_augment(x: jnp.ndarray, key: jax.Array, frequency: float = 0.2,
                  frame: float = 0.2, rows: int = 1, cols: int = 1,
                  random_rows: bool = False, random_cols: bool = False) -> jnp.ndarray:

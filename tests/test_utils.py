@@ -296,3 +296,28 @@ def test_diff_checkpoints(tmp_path):
     text = buf.getvalue()
     assert "lin.weight" in text and "False" in text
     assert "batch_stats" not in text
+
+
+def test_load_augmentation(tmp_path):
+    """Driver `augmentation` option (reference configs/tdnnf_bn:40-56):
+    lenient inline JSON or a json file; musan/RIR dbs resolved from the
+    prepare_aug csv siblings."""
+    import json
+
+    from satpu.ops.augment import load_augmentation
+
+    assert load_augmentation("") == (None, None, None)
+    cfg, ndb, rdb = load_augmentation(
+        '{"pipeline": ["codec", "add_noise",], "aug_number": 1,}')
+    assert cfg["pipeline"] == ["codec", "add_noise"] and ndb is None
+
+    (tmp_path / "musan.json").write_text(json.dumps({"noise": ["/x/a.wav"]}))
+    (tmp_path / "reverb.json").write_text(json.dumps(["/x/r.wav"]))
+    spec = {"pipeline": ["add_reverb", "add_noise"], "aug_number": 1,
+            "add_noise": {"noise_db_csv": str(tmp_path / "musan.csv")},
+            "add_reverb": {"rir_db_csv": str(tmp_path / "reverb.csv")}}
+    p = tmp_path / "aug.json"
+    p.write_text(json.dumps(spec))
+    cfg, ndb, rdb = load_augmentation(str(p))
+    assert ndb == {"noise": ["/x/a.wav"]}
+    assert rdb == ["/x/r.wav"]
