@@ -8,10 +8,11 @@ default JAX device (one TPU chip under the driver).
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Measurement notes (device traces on a v5e chip):
-- at B=64 x 10 s the split is get_f0 ~122 ms + convert ~183 ms after the
-  banded-DFT NLFER/SHC rewrite (both op profiles are flat: largest single op
-  7.6 ms); the bf16 conv policy (compute_dtype="bfloat16", waveform rel err
-  ~2e-3) is on by default;
+- at B=128 x 10 s the split is get_f0 ~125 ms + convert ~240 ms (BN 57 +
+  generator 183; generator runs at ~62% of bf16 peak) after the round-2b
+  YAAPT rewrites (banded-DFT NCCF correlations, block-Toeplitz bandpass,
+  reduce_window peaks); the bf16 conv policy (compute_dtype="bfloat16",
+  waveform rel err ~2e-3) is on by default;
 - F0 and convert stay TWO dispatches: fusing YAAPT's DP scans into the conv
   pipeline makes XLA schedule the whole graph ~3x slower;
 - inputs are staged on-device before timing: the serving pipeline overlaps

@@ -33,6 +33,13 @@ import numpy as np
 
 INF = 1e30
 
+# MXU precision for the banded-DFT / Toeplitz matmuls. HIGH (bf16x3) matches
+# f32 to ~1e-6 relative and runs ~30% faster than HIGHEST (bf16x6) on v5e;
+# an on-chip A/B over an 8-signal synthetic corpus produced BIT-IDENTICAL F0
+# tracks under HIGH vs HIGHEST (the tracker's discrete peak/DP decisions
+# absorb 1e-6 perturbations). CPU golden tests always compute exact f32.
+MXU_PRECISION = jax.lax.Precision.HIGH
+
 DEFAULTS = dict(
     sr=16000.0, frame_length=35.0, tda_frame_length=35.0, frame_space=10.0,
     f0_min=60.0, f0_max=400.0, fft_length=8192.0, bp_low=50.0, bp_high=1500.0,
@@ -116,16 +123,39 @@ def _bandpass_fir(fs: float, bp_low: float, bp_high: float, n_taps: int = 3072) 
     return h.astype(np.float32)
 
 
-def bandpass(x: jnp.ndarray, fs: float, bp_low: float, bp_high: float) -> jnp.ndarray:
-    """lowpass(bp_high) then highpass(bp_low) (yaapt.py:42-51), evaluated as
-    one FFT convolution with the (numerically exact) truncated cascade FIR."""
+@functools.lru_cache(maxsize=4)
+def _bandpass_toeplitz(fs: float, bp_low: float, bp_high: float,
+                       block: int = 512) -> np.ndarray:
+    """Block-Toeplitz matrix W [taps+block, block] such that causal FIR
+    convolution is y[c*block + j] = sum_u xp[c*block + u] * W[u, j] with xp
+    the input front-padded by ``taps`` zeros."""
     h = _bandpass_fir(fs, bp_low, bp_high)
+    taps = len(h)
+    W = np.zeros((taps + block, block), np.float32)
+    for j in range(block):
+        u = j + np.arange(1, taps + 1)  # m = j - u + taps runs taps-1 .. 0
+        W[u, j] = h[::-1]
+    return W
+
+
+def bandpass(x: jnp.ndarray, fs: float, bp_low: float, bp_high: float,
+             block: int = 512) -> jnp.ndarray:
+    """lowpass(bp_high) then highpass(bp_low) (yaapt.py:42-51) with the
+    (numerically exact) truncated cascade FIR, evaluated as a block-Toeplitz
+    matmul on the MXU: overlapping windows of ``taps+block`` samples times a
+    constant [taps+block, block] tap matrix. The earlier full-length FFT
+    convolution padded 160 k-sample utterances to a 262144-point transform
+    through XLA's TPU FFT custom call — measured 2x slower than this matmul
+    at B=128 x 10 s (43.8 -> ~26 ms for the two bands)."""
+    W = jnp.asarray(_bandpass_toeplitz(fs, bp_low, bp_high, block))
+    taps = W.shape[0] - block
     T = x.shape[-1]
-    n = T + len(h) - 1
-    nfft = 1 << (n - 1).bit_length()
-    X = jnp.fft.rfft(x, nfft)
-    H = jnp.fft.rfft(jnp.asarray(h), nfft)
-    y = jnp.fft.irfft(X * H, nfft)
+    nch = (T + block - 1) // block
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(taps, nch * block - T)])
+    starts = np.arange(nch) * block
+    win = xp[..., starts[:, None] + np.arange(taps + block)[None, :]]
+    y = jnp.matmul(win, W, precision=MXU_PRECISION)
+    y = y.reshape(x.shape[:-1] + (nch * block,))
     return y[..., :T].astype(jnp.float32)
 
 
@@ -292,9 +322,66 @@ def banded_dft_mag(frames: jnp.ndarray, nfft: int, bin_lo: int, bin_hi: int) -> 
     accuracy so the downstream peak/DP decisions match the FFT path.
     """
     C, S = _dft_band_mats(frames.shape[-1], nfft, bin_lo, bin_hi)
-    re = jnp.matmul(frames, jnp.asarray(C), precision=jax.lax.Precision.HIGHEST)
-    im = jnp.matmul(frames, jnp.asarray(S), precision=jax.lax.Precision.HIGHEST)
+    re = jnp.matmul(frames, jnp.asarray(C), precision=MXU_PRECISION)
+    im = jnp.matmul(frames, jnp.asarray(S), precision=MXU_PRECISION)
     return jnp.sqrt(re * re + im * im)
+
+
+@functools.lru_cache(maxsize=8)
+def _corr_dft_mats(frame_len: int, nfft: int, lag_lo: int, lag_hi: int):
+    """Forward/inverse DFT matrices for banded cross-correlation (host-side
+    constants): corr[k] = irfft(conj(rfft(a)) * rfft(b))[k] for k in
+    [lag_lo, lag_hi)."""
+    nbins = nfft // 2 + 1
+    b = np.arange(nbins)
+    t = np.arange(frame_len)
+    ang_f = 2.0 * np.pi / nfft * np.outer(t, b)
+    Cf = np.cos(ang_f).astype(np.float32)
+    Sf = np.sin(ang_f).astype(np.float32)
+    k = np.arange(lag_lo, lag_hi)
+    w = np.full(nbins, 2.0)
+    w[0] = 1.0
+    if nfft % 2 == 0:
+        w[-1] = 1.0
+    ang_i = 2.0 * np.pi / nfft * np.outer(b, k)
+    Ci = (w[:, None] * np.cos(ang_i) / nfft).astype(np.float32)
+    Si = (w[:, None] * np.sin(ang_i) / nfft).astype(np.float32)
+    return Cf, Sf, Ci, Si
+
+
+def banded_corr_pairs(signals, pairs, nfft: int, lag_lo: int, lag_hi: int):
+    """Linear cross-correlations corr[k] = sum_t a[t] * b[t+k] for a band of
+    lags, as banded DFT matmuls on the MXU.
+
+    ``signals``: list of [..., L] arrays (shared leading dims); ``pairs``:
+    list of (ia, ib) index pairs into signals. Returns one [..., lag_hi-lag_lo]
+    array per pair. Requires nfft >= L + lag_hi (linear, not circular).
+
+    Replaces jnp.fft rfft/irfft round trips: XLA's TPU FFT custom call costs
+    ~23 ms per [64k, 1024] batch where the equivalent HIGHEST-precision
+    banded DFT matmul pipeline costs ~10 ms per pair (measured on a v5e;
+    this took the two NCCF time tracks from 158 ms to ~45 ms at B=128 x 10 s).
+    """
+    L = signals[0].shape[-1]
+    Cf, Sf, Ci, Si = (jnp.asarray(m) for m in
+                      _corr_dft_mats(L, nfft, lag_lo, lag_hi))
+    P = MXU_PRECISION
+    stack = jnp.concatenate([s[..., None, :] for s in signals], axis=-2)
+    ar = jnp.matmul(stack, Cf, precision=P)  # [..., n_sig, nbins]
+    as_ = jnp.matmul(stack, Sf, precision=P)
+    outs = []
+    # X = x@Cf - i*(x@Sf); conj(A)*B = (pr, pi) below; corr = pr@Ci - pi@Si
+    prs, pis = [], []
+    for ia, ib in pairs:
+        a_r, a_s = ar[..., ia, :], as_[..., ia, :]
+        b_r, b_s = ar[..., ib, :], as_[..., ib, :]
+        prs.append(a_r * b_r + a_s * b_s)
+        pis.append(a_s * b_r - a_r * b_s)
+    pr = jnp.concatenate([p[..., None, :] for p in prs], axis=-2)
+    pi = jnp.concatenate([p[..., None, :] for p in pis], axis=-2)
+    corr = (jnp.matmul(pr, Ci, precision=P)
+            - jnp.matmul(pi, Si, precision=P))  # [..., n_pairs, K]
+    return [corr[..., i, :] for i in range(len(pairs))]
 
 
 def nlfer(filtered: jnp.ndarray, frame_size: int, frame_jump: int, nfft: int,
@@ -457,10 +544,13 @@ def peaks_frame(data: jnp.ndarray, delta: float, maxpeaks: int, p: Dict[str, flo
     d_n = data[n_pos]
     is_peak = (d_n > data[n_pos - 1]) & (d_n > data[n_pos + 1]) & (d_n > thresh2 * avg_data)
     # centered-argmax check over [n-center, n+center]: strict max vs left,
-    # >= max of right (argmax returns first occurrence)
-    win = data[(n_pos[:, None] + np.arange(-center, center + 1)[None, :])]
-    left_max = jnp.max(win[:, :center], axis=1)
-    right_max = jnp.max(win[:, center + 1 :], axis=1)
+    # >= max of right (argmax returns first occurrence). Sliding-window maxes
+    # via reduce_window instead of materializing the [n_pos, 2*center+1]
+    # window gather (1.3 GB at B=128 x 10 s; peaks dropped 23 -> ~8 ms).
+    lm = jax.lax.reduce_window(data, -jnp.inf, jax.lax.max,
+                               (center,), (1,), "VALID")  # lm[t]=max d[t:t+c]
+    left_max = lm[n_pos - center]   # max of data[n-center .. n-1]
+    right_max = lm[n_pos + 1]       # max of data[n+1 .. n+center]
     centered = (d_n > left_max) & (d_n >= right_max)
     valid = is_peak & centered
 
@@ -645,21 +735,22 @@ def time_track(filtered: jnp.ndarray, spec_pitch, pitch_std, energy, vuv,
     # the N_f-masked signal against the full frame. One FFT per frame
     # replaces the [F, K, L] product+cumsum monster (which dominated the
     # whole anonymization device profile at ~40 ms/batch per track).
-    xm = x * (t_j[None, :] < Ns[:, None])
+    mask = (t_j[None, :] < Ns[:, None]).astype(x.dtype)
+    xm = x * mask
     nfft_corr = 1 << int(np.ceil(np.log2(data_len + glag_max + 1)))
-    X = jnp.fft.rfft(x, nfft_corr)
-    Xm = jnp.fft.rfft(xm, nfft_corr)
-    corr = jnp.fft.irfft(jnp.conj(Xm) * X, nfft_corr)  # corr[k]=sum_t xm[t]x[t+k]
-    num = corr[:, ks_j]  # [F, K]
+    # num[k] = sum_{t<N} x[t] x[t+k]; sum_sq_shift[k] = sum_{t<N} x[t+k]^2 —
+    # both are banded linear correlations (vs x and vs x^2), evaluated as
+    # MXU matmuls instead of the 6 XLA FFT custom calls they used to be
+    # (each rfft/irfft on [64k, 1024] costs ~23 ms on a v5e; see
+    # banded_corr_pairs)
+    num, sum_sq_shift = banded_corr_pairs(
+        [x, xm, mask, sq], [(1, 0), (2, 3)], nfft_corr,
+        int(ks[0]), int(ks[-1]) + 1)
     n_idx = jnp.clip(Ns - 1, 0, data_len - 1)  # [F]
-    # sum_{t<N} x[t+k]^2: correlate the window mask with x^2 the same way
-    # (the previous dynamic-index take_along_axis gather was a slow TPU
-    # custom-call; corr[:, ks] below is a static gather)
-    Msk = jnp.fft.rfft((t_j[None, :] < Ns[:, None]).astype(x.dtype), nfft_corr)
-    corr_sq = jnp.fft.irfft(jnp.conj(Msk) * jnp.fft.rfft(sq, nfft_corr),
-                            nfft_corr)
-    sum_sq_shift = corr_sq[:, ks_j]  # [F, K]
-    p_energy = jnp.take_along_axis(cs_sq, n_idx[:, None], axis=1)  # [F, 1]
+    # cs_sq[n_idx] as a one-hot reduction (take_along_axis gathers are slow
+    # TPU custom calls: measured ~224 ms for a [64k, 230] dynamic gather)
+    p_energy = jnp.sum(cs_sq * (t_j[None, :] == n_idx[:, None]), axis=1,
+                       keepdims=True)  # [F, 1]
     denom = sum_sq_shift * p_energy
     phi = num / jnp.sqrt(jnp.maximum(denom, 1e-30))  # [F, K] at lags ks
 
