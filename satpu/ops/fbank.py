@@ -35,6 +35,16 @@ def num_frames(num_samples: int, window_shift: int = 160, window_size: int = 400
     return (num_samples + window_shift // 2) // window_shift
 
 
+@functools.lru_cache(maxsize=8)
+def _rdft_mats(frame_len: int, nfft: int):
+    """cos/sin rDFT matrices [frame_len, nfft//2+1] (host-side constants):
+    rfft(pad(x, nfft))[b] = x@C[:, b] - i*(x@S[:, b])."""
+    k = np.arange(nfft // 2 + 1)
+    t = np.arange(frame_len)
+    ang = -2.0 * np.pi / nfft * np.outer(t, k)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def _window_function(window_type: str, window_size: int, blackman_coeff: float) -> np.ndarray:
     n = np.arange(window_size, dtype=np.float64)
@@ -222,16 +232,20 @@ def fbank(
     window = jnp.asarray(_window_function(window_type, window_size, blackman_coeff))
     frames = frames * window
 
-    if padded_window_size != window_size:
-        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, padded_window_size - window_size)))
-
     if use_energy and not raw_energy:
         log_energy = jnp.log(jnp.maximum(jnp.sum(frames**2, axis=-1), LOG_EPS))
         log_energy = jnp.maximum(log_energy, math.log(energy_floor)) if energy_floor != 0.0 else log_energy
 
-    spectrum = jnp.abs(jnp.fft.rfft(frames, axis=-1))
-    if use_power:
-        spectrum = spectrum**2
+    # |rfft(frames, padded_window_size)| as two DFT matmuls over the
+    # window_size non-zero samples: XLA's TPU FFT custom call costs ~23 ms
+    # per [64k, 1024] batch (see ops/yaapt.py banded_corr_pairs) where the
+    # MXU matmul at HIGH (bf16x3, ~1e-6 rel) runs in ~3 ms at serving shapes
+    C, S = (jnp.asarray(m) for m in _rdft_mats(window_size, padded_window_size))
+    P = jax.lax.Precision.HIGH
+    re = jnp.matmul(frames, C, precision=P)
+    im = jnp.matmul(frames, S, precision=P)
+    power = re * re + im * im
+    spectrum = power if use_power else jnp.sqrt(jnp.maximum(power, 0.0))
 
     bank = jnp.asarray(mel_banks(num_mel_bins, padded_window_size, sample_frequency,
                                  low_freq, high_freq, vtln_low, vtln_high, vtln_warp))

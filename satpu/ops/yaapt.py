@@ -445,6 +445,12 @@ def shc_all_frames(filtered_nl: jnp.ndarray, n_frames: int, frame_size: int,
         shc_band = _shc_band_pallas(mag, min_shc, I, num_harmonics + 1,
                                     window_length)
     else:
+        # (a strided-slice MAC variant — per (h, j) the i-axis walk is a
+        # stride-(h+1) lane slice — measured 30% faster in isolation but
+        # SLOWER in the fused shc graph (shc 36.8 -> 40.9 ms at B=128x10s);
+        # the flat static gather fuses better with the DFT matmul. Mosaic
+        # rejects strided vector slices, so a VMEM-resident Pallas kernel
+        # remains blocked on the out-of-kernel deinterleave cost.)
         gathered = mag[:, jnp.asarray(gather.reshape(-1))].reshape(
             (n_frames,) + gather.shape)
         shc_band = jnp.sum(jnp.prod(gathered, axis=2), axis=2)  # [F, I]
