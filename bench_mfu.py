@@ -39,7 +39,7 @@ RECORDED = {  # hard-synced v5e measurements (README.md)
     "gan": {"sec_per_step": 0.395},
     # f32 36.5 ms; the bf16 autocast policy (train_asv --compute-dtype
     # bfloat16) measures 28.8 ms at the same shape
-    "asv": {"sec_per_step": 0.0365},
+    "asv": {"sec_per_step": 0.0336},
 }
 
 
@@ -207,6 +207,9 @@ def asv():
 def main():
     names = sys.argv[1:] or ["serving", "chain", "gan", "asv"]
     out = {}
+    if os.path.exists("BENCH_MFU.json"):  # merge: partial runs keep other rows
+        with open("BENCH_MFU.json") as f:
+            out = json.load(f)
     for name in names:
         res = globals()[name]()
         rec = RECORDED[name]

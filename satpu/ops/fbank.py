@@ -35,14 +35,33 @@ def num_frames(num_samples: int, window_shift: int = 160, window_size: int = 400
     return (num_samples + window_shift // 2) // window_shift
 
 
-@functools.lru_cache(maxsize=8)
-def _rdft_mats(frame_len: int, nfft: int):
-    """cos/sin rDFT matrices [frame_len, nfft//2+1] (host-side constants):
-    rfft(pad(x, nfft))[b] = x@C[:, b] - i*(x@S[:, b])."""
+@functools.lru_cache(maxsize=16)
+def _rdft_mats(frame_len: int, nfft: int, offset: int = 0):
+    """cos/sin rDFT matrices [frame_len, nfft//2+1] (host-side constants) for
+    a signal whose non-zero support starts at ``offset`` inside the nfft
+    window: rfft(z, nfft)[b] = z'@C[:, b] + i*(z'@S[:, b]) with
+    z' = z[offset:offset+frame_len]. |.| and |.|^2 are sign-agnostic, which
+    is how all callers use these."""
     k = np.arange(nfft // 2 + 1)
-    t = np.arange(frame_len)
+    t = np.arange(frame_len) + offset
     ang = -2.0 * np.pi / nfft * np.outer(t, k)
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def framed_rfft_sqmag(frames: jnp.ndarray, n_fft: int, offset: int = 0,
+                      span: Optional[int] = None) -> jnp.ndarray:
+    """|rfft(frames, n_fft)|^2 for [..., L]-windowed frames whose non-zero
+    support is [offset, offset+span), as two MXU matmuls at HIGH precision
+    (~1e-6 rel vs the FFT). XLA's TPU FFT custom call costs ~23 ms per
+    [64k, 1024] batch; the matmul form runs an order of magnitude faster at
+    the fbank/mel/STFT shapes used across the framework."""
+    span = frames.shape[-1] if span is None else span
+    C, S = (jnp.asarray(m) for m in _rdft_mats(span, n_fft, offset))
+    z = frames[..., offset:offset + span] if (offset or span != frames.shape[-1]) else frames
+    P = jax.lax.Precision.HIGH
+    re = jnp.matmul(z, C, precision=P)
+    im = jnp.matmul(z, S, precision=P)
+    return re * re + im * im
 
 
 @functools.lru_cache(maxsize=None)
@@ -236,15 +255,9 @@ def fbank(
         log_energy = jnp.log(jnp.maximum(jnp.sum(frames**2, axis=-1), LOG_EPS))
         log_energy = jnp.maximum(log_energy, math.log(energy_floor)) if energy_floor != 0.0 else log_energy
 
-    # |rfft(frames, padded_window_size)| as two DFT matmuls over the
-    # window_size non-zero samples: XLA's TPU FFT custom call costs ~23 ms
-    # per [64k, 1024] batch (see ops/yaapt.py banded_corr_pairs) where the
-    # MXU matmul at HIGH (bf16x3, ~1e-6 rel) runs in ~3 ms at serving shapes
-    C, S = (jnp.asarray(m) for m in _rdft_mats(window_size, padded_window_size))
-    P = jax.lax.Precision.HIGH
-    re = jnp.matmul(frames, C, precision=P)
-    im = jnp.matmul(frames, S, precision=P)
-    power = re * re + im * im
+    # |rfft(frames, padded_window_size)|^2 as two DFT matmuls over the
+    # window_size non-zero samples (see framed_rfft_sqmag)
+    power = framed_rfft_sqmag(frames, padded_window_size)
     spectrum = power if use_power else jnp.sqrt(jnp.maximum(power, 0.0))
 
     bank = jnp.asarray(mel_banks(num_mel_bins, padded_window_size, sample_frequency,

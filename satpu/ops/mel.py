@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fbank import framed_rfft_sqmag
+
 
 def _hz_to_mel_slaney(f):
     f = np.asarray(f, dtype=np.float64)
@@ -62,11 +64,13 @@ def stft_magnitude(y: jnp.ndarray, n_fft: int, hop_size: int, win_size: int) -> 
     idx = (jnp.arange(n_frames) * hop_size)[:, None] + jnp.arange(n_fft)[None, :]
     frames = y[:, idx]  # [B, frames, n_fft]
     window = jnp.asarray(np.hanning(win_size + 1)[:-1].astype(np.float32))  # periodic hann
+    lpad = (n_fft - win_size) // 2 if win_size < n_fft else 0
     if win_size < n_fft:
-        lpad = (n_fft - win_size) // 2
         window = jnp.pad(window, (lpad, n_fft - win_size - lpad))
-    spec = jnp.fft.rfft(frames * window, axis=-1)
-    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
+    # |rfft| as DFT matmuls over the window's non-zero span (ops/fbank.py:
+    # framed_rfft_sqmag) — XLA's TPU FFT custom call is far slower
+    sqmag = framed_rfft_sqmag(frames * window, n_fft, lpad, win_size)
+    mag = jnp.sqrt(sqmag + 1e-9)
     return jnp.transpose(mag, (0, 2, 1))
 
 

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.fbank import framed_rfft_sqmag
+
 from ..models.torchlayers import instance_norm_1d
 
 
@@ -62,11 +64,13 @@ def torch_stft_mag2(y: jnp.ndarray, n_fft: int, hop_length: int,
     idx = (jnp.arange(n_frames) * hop_length)[:, None] + jnp.arange(n_fft)[None, :]
     frames = y[:, idx]
     window = np.hanning(win_length + 1)[:-1].astype(np.float32)  # periodic hann
+    lpad = (n_fft - win_length) // 2 if win_length < n_fft else 0
     if win_length < n_fft:
-        lpad = (n_fft - win_length) // 2
         window = np.pad(window, (lpad, n_fft - win_length - lpad))
-    spec = jnp.fft.rfft(frames * jnp.asarray(window), axis=-1)
-    mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    # |rfft|^2 as DFT matmuls over the window's non-zero span (ops/fbank.py:
+    # framed_rfft_sqmag) — XLA's TPU FFT custom call is far slower
+    mag2 = framed_rfft_sqmag(frames * jnp.asarray(window), n_fft, lpad,
+                             win_length)
     return jnp.transpose(mag2, (0, 2, 1))
 
 
