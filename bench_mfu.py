@@ -35,7 +35,7 @@ PEAK_F32 = 98.5e12
 
 RECORDED = {  # hard-synced v5e measurements (README.md)
     "serving": {"audio_sec_per_sec": 3529.0},
-    "chain": {"sec_per_step": 0.030},
+    "chain": {"sec_per_step": 0.0152},
     "gan": {"sec_per_step": 0.395},
     # f32 36.5 ms; the bf16 autocast policy (train_asv --compute-dtype
     # bfloat16) measures 28.8 ms at the same shape
@@ -102,21 +102,31 @@ def serving():
             "flops_per_audio_sec": fl / audio, "peak": PEAK_BF16}
 
 
-def _synthetic_den(num_pdfs=3280, n_states=1600, arcs_per_state=8, seed=0):
+def _synthetic_den(n_phones=160, succ_per_phone=9, seed=0):
+    """Realistic chain-topology den graph at the old benchmark scale (1601
+    states / ~16k arcs): a pruned random bigram over n_phones expanded
+    through prep.make_den_fst. Carries the destination-factored form
+    (DenFactored) like real den graphs, so the bench exercises the
+    production den path; the tree has a leaf per SEEN biphone
+    (num_pdfs = 2 * (n_phones + n_phones * succ_per_phone) = 3200)."""
     from satpu.chain.objf import DenominatorGraph
+    from satpu.chain.prep import BiphoneTree, make_den_fst
 
     rng = np.random.default_rng(seed)
-    n_arcs = n_states * arcs_per_state
-    src = np.repeat(np.arange(n_states), arcs_per_state)
-    dst = rng.integers(0, n_states, n_arcs)
-    pdf = rng.integers(0, num_pdfs, n_arcs)
-    logp = np.full(n_arcs, -np.log(arcs_per_state), np.float32)
-    start = np.full(n_states, -np.log(n_states), np.float32)
-    final = np.zeros(n_states, np.float32)
-    init = np.full(n_states, 1.0 / n_states, np.float32)
-    return DenominatorGraph(src.astype(np.int32), dst.astype(np.int32),
-                            pdf.astype(np.int32), logp, start, final, init,
-                            num_pdfs)
+    P = n_phones
+    phones = [f"p{i}" for i in range(1, P + 1)]
+    trans = np.zeros((P + 1, P + 1))
+    trans[0, 1:] = 1.0 / P
+    seqs = []
+    for p in range(1, P + 1):
+        succ = rng.choice(np.arange(1, P + 1), succ_per_phone, replace=False)
+        trans[p, succ] = rng.uniform(0.5, 1.5, succ_per_phone)
+        seqs.extend([[p, r] for r in succ])
+    trans[1:] /= trans[1:].sum(axis=1, keepdims=True)
+    final = np.full(P + 1, 0.05)
+    tree = BiphoneTree.build(seqs, phones, biphone=True)
+    den_fst = make_den_fst(trans, final, tree)
+    return DenominatorGraph.from_fst(den_fst, num_pdfs=tree.num_pdfs)
 
 
 def chain():
@@ -129,9 +139,9 @@ def chain():
                                      make_chain_optimizer, make_chain_train_step)
     from satpu.models.asrbn import TDNNFNet, TDNNFNetConfig, output_num_frames
 
-    cfg = TDNNFNetConfig(output_dim=3280)
-    model = TDNNFNet(cfg)
     den = _synthetic_den()
+    cfg = TDNNFNetConfig(output_dim=den.num_pdfs)
+    model = TDNNFNet(cfg)
     opts = ChainTrainOpts(lr=0.001)
     optimizer = make_chain_optimizer(opts)
     B, T = 16, 48000
@@ -141,7 +151,7 @@ def chain():
                                  optimizer)
     n_out = output_num_frames(T)
     rng = np.random.default_rng(0)
-    seqs = [rng.integers(0, 3280, n_out // 4).tolist() for _ in range(B)]
+    seqs = [rng.integers(0, den.num_pdfs, n_out // 4).tolist() for _ in range(B)]
     graphs = pad_graph_arrays([fst_to_arrays(linear_fst_from_pdf_sequence(q))
                                for q in seqs])
     graphs = {k: jnp.asarray(v) for k, v in graphs.items()}

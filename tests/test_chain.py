@@ -177,3 +177,59 @@ def test_fst_forward_unreachable_states_stay_finite(rng):
     # brute force: single path prob
     expect = (-0.5 + ll[0, 0]) + (-0.3 + ll[1, 1]) + (-0.1 + ll[2, 0])
     np.testing.assert_allclose(float(out), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_den_factored_matches_arc_formulation(rng):
+    """The destination-factored den recursion (dense [S, S] cross matmul +
+    diagonal self-loops, DenFactored) must match the per-arc one-hot
+    formulation exactly — values AND gradients — on a real chain-topology den
+    graph built by prep.make_den_fst."""
+    import jax
+    import jax.numpy as jnp
+
+    from satpu.chain.objf import DenominatorGraph, den_forward
+    from satpu.chain.prep import BiphoneTree, make_den_fst
+
+    P = 5
+    phones = [f"p{i}" for i in range(1, P + 1)]
+    seqs = [rng.integers(1, P + 1, 12).tolist() for _ in range(8)]
+    tree = BiphoneTree.build(seqs, phones, biphone=True)
+    # bigram transition matrix + final probs from the sequences
+    trans = np.full((P + 1, P + 1), 1e-8)
+    final = np.full(P + 1, 0.2)
+    for seq in seqs:
+        prev = 0
+        for p in seq:
+            trans[prev, p] += 1.0
+            prev = p
+    trans /= trans.sum(axis=1, keepdims=True)
+    den_fst = make_den_fst(trans, final, tree)
+    den = DenominatorGraph.from_fst(den_fst, num_pdfs=tree.num_pdfs)
+    assert den.factored is not None, "chain den graph should factor"
+
+    B, T = 3, 7
+    ll = jnp.asarray(rng.standard_normal((B, T, tree.num_pdfs)).astype(np.float32))
+    for leaky in (0.0, 1e-5):
+        fast = np.asarray(den_forward(ll, den, leaky, use_factored=True))
+        slow = np.asarray(den_forward(ll, den, leaky, use_factored=False))
+        np.testing.assert_allclose(fast, slow, rtol=1e-4, atol=1e-4)
+    g_fast = jax.grad(lambda x: jnp.sum(den_forward(x, den, 1e-5, use_factored=True)))(ll)
+    g_slow = jax.grad(lambda x: jnp.sum(den_forward(x, den, 1e-5, use_factored=False)))(ll)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_den_factored_rejects_per_arc_pdfs():
+    """A graph whose incoming arcs carry different pdfs must fall back to the
+    per-arc formulation (factored is None)."""
+    from satpu.chain.fst import Arc, Fst
+    from satpu.chain.objf import DenominatorGraph
+
+    f = Fst()
+    s0, s1 = f.add_state(), f.add_state()
+    f.add_arc(s0, Arc(1, 1, 0.5, s1))
+    f.add_arc(s0, Arc(2, 2, 0.7, s1))  # second pdf into the same state
+    f.add_arc(s1, Arc(1, 1, 0.1, s0))
+    f.set_final(s1, 0.0)
+    den = DenominatorGraph.from_fst(f, num_pdfs=2)
+    assert den.factored is None
