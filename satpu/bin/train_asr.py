@@ -51,6 +51,10 @@ class TrainAsrOpts(cfg.Opts):
     model: str = "tdnnf"
     wav2vec2_size: str = "large"  # large | base (for tdnnf_wav2vec2*)
     adversarial: bool = True  # for tdnnf_spkadv: gradient reversal on/off
+    # tdnnf_spkadv train_asi phase (reference configs/tdnnf_bn_spkadv_train_asi
+    # + tuning/tdnnf_spkadv.py:265-281): freeze the encoder below the prefinal
+    # layers; the prefinal/chain/xent heads and the asi branch keep training
+    freeze_encoder: bool = False
     hidden_dim: int = 1024
     bottleneck_dim: int = 128
     prefinal_bottleneck_dim: int = 256
@@ -240,9 +244,25 @@ def main(argv=None):
             return jnp.where(frac < 0.1, 1.0 / 20.0,
                              jnp.where(frac < 0.9, 1.0 / 5.0, 0.0))
 
+    freeze_filter = None
+    if opts.freeze_encoder:
+        # reference tuning/tdnnf_spkadv.py:265-281: everything below the
+        # prefinal layers frozen; prefinal_chain/prefinal_xent/chain_output/
+        # xent_output (and the asi branch) keep training
+        _TRAINABLE_HEADS = {"prefinal_chain", "prefinal_xent",
+                            "chain_output", "xent_output"}
+
+        def freeze_filter(keys):
+            return ("acoustic" in keys
+                    and not any(k in _TRAINABLE_HEADS for k in keys))
+
+        logging.info("freeze_encoder: acoustic trunk updates zeroed "
+                     "(prefinal/output heads + asi branch keep training)")
+
     step_fn = jax.jit(make_chain_train_step(
         model, den, optimizer, topts, lr_schedule=lr_at,
-        preprocessor_schedule=preprocessor_schedule))
+        preprocessor_schedule=preprocessor_schedule,
+        freeze_filter=freeze_filter))
     valid_fn = jax.jit(make_chain_valid_step(model, den, topts))
     metrics_log = MetricsWriter(opts.dirname)
     metrics_log.attach_log_handler()
@@ -316,8 +336,16 @@ def main(argv=None):
                                              jax.random.PRNGKey(steps), **kw)
                     steps += 1
                     if steps % 4 == 0:
-                        state = state.replace(
-                            params=apply_orthonormal_constraint(state.params))
+                        constrained = apply_orthonormal_constraint(state.params)
+                        if freeze_filter is not None:
+                            # frozen params must not drift under the
+                            # orthonormality nudge either
+                            constrained = jax.tree_util.tree_map_with_path(
+                                lambda path, new, old: old if freeze_filter(
+                                    tuple(str(getattr(p, "key", p))
+                                          for p in path)) else new,
+                                constrained, state.params)
+                        state = state.replace(params=constrained)
                     if steps % opts.diagnostics_interval == 0:
                         run_diagnostics(epoch, steps, metrics)
                     if steps % opts.checkpoint_interval == 0:

@@ -83,7 +83,8 @@ def init_chain_state(model, rng, example_wav, optimizer) -> ChainTrainState:
 def make_chain_train_step(model, den: DenominatorGraph, optimizer,
                           opts: ChainTrainOpts = ChainTrainOpts(),
                           lr_schedule: Optional[Callable] = None,
-                          preprocessor_schedule: Optional[Callable] = None):
+                          preprocessor_schedule: Optional[Callable] = None,
+                          freeze_filter: Optional[Callable] = None):
     """(state, wav [B,T], num_graphs, num_frames, rng) -> (state, metrics).
 
     num_graphs: padded per-utterance numerator FST arrays (jnp), batch-major.
@@ -95,6 +96,11 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
     schedule for the wav2vec2 front (tuning/tdnnf_wav2vec2_vq.py:189-220:
     lr/20 early, lr/5 mid-run, frozen for the last 10%). Scaling the UPDATE
     (not the grad) matches per-group LR semantics under Adam.
+
+    ``freeze_filter(path_keys) -> bool`` (path_keys = tuple of str param-tree
+    keys) zeroes the update of every matching param — the JAX analog of the
+    reference's ``requires_grad = False`` freeze
+    (tuning/tdnnf_spkadv.py:265-281).
     """
 
     def train_step(state: ChainTrainState, wav, num_graphs, num_frames, rng,
@@ -155,6 +161,12 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
                 return u * mult if in_preproc else u
 
             updates = jax.tree_util.tree_map_with_path(scale_preproc, updates)
+        if freeze_filter is not None:
+            def zero_frozen(path, u):
+                keys = tuple(str(getattr(p, "key", p)) for p in path)
+                return jnp.zeros_like(u) if freeze_filter(keys) else u
+
+            updates = jax.tree_util.tree_map_with_path(zero_frozen, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1, params=params,

@@ -52,7 +52,18 @@ def load_ini(path: str) -> Dict[str, Dict[str, str]]:
                 )
             return variables[name]
 
-        return _RE_VAR.sub(repl, value)
+        # vars may reference other vars (e.g. exp = exp/run_vq${:vq}):
+        # substitute to a fixed point, bounded against reference cycles
+        for _ in range(10):
+            if not _RE_VAR.search(value):
+                return value
+            new = _RE_VAR.sub(repl, value)
+            if new == value:
+                raise ValueError(
+                    f"unresolvable config variable reference in {value!r}")
+            value = new
+        raise ValueError(
+            f"config variable nesting too deep (cycle?) in {value!r}")
 
     out: Dict[str, Dict[str, str]] = {}
     for sec, kv in raw.items():

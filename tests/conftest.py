@@ -8,7 +8,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # 8 virtual devices are threads on (possibly) one core: the default 40 s
+    # collective-rendezvous termination timeout can fire from pure scheduler
+    # starvation under suite load
+    flags += (" --xla_cpu_collective_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=300")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax

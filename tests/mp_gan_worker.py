@@ -16,8 +16,14 @@ pid = int(sys.argv[1])
 port = sys.argv[2]
 out_path = sys.argv[3]
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=4").strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+    # virtual devices are threads on possibly one core: the default 40 s
+    # collective-rendezvous termination timeout can fire from scheduler
+    # starvation under load
+    + " --xla_cpu_collective_timeout_seconds=300"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=300").strip()
 
 import jax  # noqa: E402
 

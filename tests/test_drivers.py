@@ -139,7 +139,14 @@ def _mesh_cli_env():
     env = dict(_os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""  # skip the axon plugin in subprocesses
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # The 8 virtual devices are threads on (possibly) one core: the default
+    # 40 s collective-rendezvous termination timeout can fire from pure
+    # scheduler starvation under load (observed: F0818 rendezvous.cc crashes
+    # on the 1-core CI host). Give the rendezvous room to breathe.
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=8"
+        " --xla_cpu_collective_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=300")
     env["SATPU_JAX_CACHE"] = env.get("SATPU_TEST_JAX_CACHE",
                                      "/tmp/satpu_test_jax_cache")
     return env

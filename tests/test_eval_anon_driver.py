@@ -128,7 +128,10 @@ def test_eval_anon_serve_mesh(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=8"
+        " --xla_cpu_collective_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=300")
     env["SATPU_JAX_CACHE"] = env.get("SATPU_TEST_JAX_CACHE",
                                      "/tmp/satpu_test_jax_cache")
     results = tmp_path / "results_mesh"

@@ -28,6 +28,29 @@ def test_ini_interpolation(tmp_path, monkeypatch):
     assert out["exp"]["codebook"] == "128"
 
 
+def test_ini_var_in_var(tmp_path, monkeypatch):
+    """[var] entries may reference other vars (reference vartoml semantics;
+    e.g. configs/tdnnf_bn_vq: dirname = bn_tdnnf_100h_vq_${:vq} via exp var)."""
+    p = tmp_path / "conf.ini"
+    p.write_text(
+        "[var]\n"
+        "vq = 48\n"
+        "exp = exp/run_vq${:vq}\n"
+        "[train]\n"
+        "dirname = ${:exp}\n"
+    )
+    out = cfg.load_ini(str(p))
+    assert out["train"]["dirname"] == "exp/run_vq48"
+    monkeypatch.setenv("vq", "64")
+    out = cfg.load_ini(str(p))
+    assert out["train"]["dirname"] == "exp/run_vq64"
+    # reference cycles raise instead of looping
+    p.write_text("[var]\na = ${:b}\nb = ${:a}\n[s]\nk = ${:a}\n")
+    import pytest
+    with pytest.raises(ValueError):
+        cfg.load_ini(str(p))
+
+
 def test_opts_dataclass():
     import dataclasses
 

@@ -132,6 +132,63 @@ def test_spkadv_training_step(rng):
     assert sum(x > 0 for x in jax.tree_util.tree_leaves(moved)) > 10
 
 
+def test_spkadv_freeze_encoder_train_asi(rng):
+    """train_asi phase (reference configs/tdnnf_bn_spkadv_train_asi +
+    tuning/tdnnf_spkadv.py:265-281): frozen encoder trunk, trainable
+    prefinal/output heads + asi branch, no gradient reversal."""
+    import jax
+    import jax.numpy as jnp
+
+    from satpu.chain.fst import (Fst, fst_to_arrays, linear_fst_from_pdf_sequence,
+                                 pad_graph_arrays)
+    from satpu.chain.objf import DenominatorGraph
+    from satpu.chain.trainer import (ChainTrainOpts, init_chain_state,
+                                     make_chain_optimizer, make_chain_train_step)
+    from satpu.models.asrbn import TDNNFNetConfig
+    from satpu.models.spkadv import SpkAdvTDNNFNet
+
+    num_pdfs = 8
+    den_text = "\n".join(f"0 0 {p + 1} {p + 1} 2.0" for p in range(num_pdfs)) + "\n0 0.0"
+    den = DenominatorGraph.from_fst(Fst.from_text(den_text), num_pdfs=num_pdfs)
+    cfg = TDNNFNetConfig(output_dim=num_pdfs, hidden_dim=16, bottleneck_dim=8,
+                         prefinal_bottleneck_dim=8)
+    model = SpkAdvTDNNFNet(cfg, num_speakers=3, adversarial=False)
+    topts = ChainTrainOpts(lr=0.01)
+    opt = make_chain_optimizer(topts)
+    state = init_chain_state(model, jax.random.PRNGKey(0),
+                             np.zeros((2, 8000), np.float32), opt)
+
+    heads = {"prefinal_chain", "prefinal_xent", "chain_output", "xent_output"}
+
+    def freeze_filter(keys):
+        return "acoustic" in keys and not any(k in heads for k in keys)
+
+    step = jax.jit(make_chain_train_step(model, den, opt, topts,
+                                         freeze_filter=freeze_filter))
+    wav = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    graphs = pad_graph_arrays([
+        fst_to_arrays(linear_fst_from_pdf_sequence([1, 2])),
+        fst_to_arrays(linear_fst_from_pdf_sequence([3, 4]))])
+    graphs = {k: jnp.asarray(v) for k, v in graphs.items()}
+    frames = jnp.asarray([16, 16], jnp.int32)
+    new_state, _ = step(state, wav, graphs, frames, jax.random.PRNGKey(1),
+                        spk_target=jnp.asarray([0, 1], jnp.int32))
+    flat_new = jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    flat_old = dict(jax.tree_util.tree_flatten_with_path(state.params)[0])
+    frozen_moved, head_moved, asi_moved = [], [], []
+    for path, leaf in flat_new:
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        delta = float(np.abs(np.asarray(leaf - flat_old[path])).max())
+        if "acoustic" in keys:
+            (head_moved if any(k in heads for k in keys)
+             else frozen_moved).append(delta)
+        else:
+            asi_moved.append(delta)
+    assert max(frozen_moved) == 0.0  # encoder trunk bit-frozen
+    assert max(head_moved) > 0.0     # prefinal/output heads train
+    assert max(asi_moved) > 0.0      # asi classifier trains
+
+
 def test_m2o_anonymizer():
     import jax
 
