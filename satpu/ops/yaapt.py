@@ -149,12 +149,21 @@ def bandpass(x: jnp.ndarray, fs: float, bp_low: float, bp_high: float,
     at B=128 x 10 s (43.8 -> ~26 ms for the two bands)."""
     W = jnp.asarray(_bandpass_toeplitz(fs, bp_low, bp_high, block))
     taps = W.shape[0] - block
+    nblk = W.shape[0] // block  # taps is a multiple of block
     T = x.shape[-1]
     nch = (T + block - 1) // block
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(taps, nch * block - T)])
-    starts = np.arange(nch) * block
-    win = xp[..., starts[:, None] + np.arange(taps + block)[None, :]]
-    y = jnp.matmul(win, W, precision=MXU_PRECISION)
+    # accumulated block matmuls over the non-overlapping block view: window
+    # c covers xp blocks c..c+nblk-1, so y_c = sum_d xb[c+d] @ W[d*block:
+    # (d+1)*block] — measured 7.1 vs 9.5 ms/call for the materialized
+    # overlapping-window gather at B=128 x 10 s (no 578 MB window tensor)
+    xb = xp.reshape(x.shape[:-1] + (taps // block + nch, block))
+    y = None
+    for d in range(nblk):
+        part = jnp.matmul(xb[..., d:d + nch, :],
+                          W[d * block:(d + 1) * block],
+                          precision=MXU_PRECISION)
+        y = part if y is None else y + part
     y = y.reshape(x.shape[:-1] + (nch * block,))
     return y[..., :T].astype(jnp.float32)
 
