@@ -37,6 +37,8 @@ RECORDED = {  # hard-synced v5e measurements (README.md)
     "serving": {"audio_sec_per_sec": 3677.0},
     "chain": {"sec_per_step": 0.0152},
     "gan": {"sec_per_step": 0.395},
+    # hifigan_tpu.ini recipe: B=128, bf16 policy (521.4 ms/step hard-synced)
+    "gan_tpu": {"sec_per_step": 0.5214},
     # f32 36.5 ms; the bf16 autocast policy (train_asv --compute-dtype
     # bfloat16) measures 28.8 ms at the same shape
     "asv": {"sec_per_step": 0.0336},
@@ -162,7 +164,7 @@ def chain():
             "flops_per_audio_sec": fl / (B * T / 16000), "peak": PEAK_F32}
 
 
-def gan():
+def gan(B=32, compute_dtype="float32"):
     import jax
 
     from satpu.hifigan.trainer import (GanHparams, init_gan_state,
@@ -173,8 +175,7 @@ def gan():
     cfg = AnonymizerConfig(asrbn=TDNNFNetConfig(output_dim=3280),
                            num_speakers=247)
     model = AnonymizationNet(cfg)
-    h = GanHparams()
-    B = 32
+    h = GanHparams(compute_dtype=compute_dtype)
     seg = h.segment_size  # 16640 samples
     t_bn = seg // 320
     f0 = np.zeros((B, t_bn), np.float32)
@@ -189,8 +190,14 @@ def gan():
     batch = {"bn": bn, "f0": f0, "spk": spk,
              "audio": np.zeros((B, seg), np.float32)}
     fl = _flops(step, state, batch)
+    peak = PEAK_BF16 if compute_dtype == "bfloat16" else PEAK_F32
     return {"flops_per_step": fl, "audio_sec": B * seg / 16000,
-            "flops_per_audio_sec": fl / (B * seg / 16000), "peak": PEAK_F32}
+            "flops_per_audio_sec": fl / (B * seg / 16000), "peak": peak}
+
+
+def gan_tpu():
+    """The shipped TPU recipe (hifigan_tpu.ini): B=128, bf16 policy."""
+    return gan(B=128, compute_dtype="bfloat16")
 
 
 def asv():
@@ -215,7 +222,7 @@ def asv():
 
 
 def main():
-    names = sys.argv[1:] or ["serving", "chain", "gan", "asv"]
+    names = sys.argv[1:] or ["serving", "chain", "gan", "gan_tpu", "asv"]
     out = {}
     if os.path.exists("BENCH_MFU.json"):  # merge: partial runs keep other rows
         with open("BENCH_MFU.json") as f:
