@@ -28,14 +28,25 @@ def build(force: bool = False) -> Optional[str]:
     src = os.path.join(os.path.dirname(__file__), "decoder.cc")
     if os.path.exists(out) and not force and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
+    # compile to a per-process temp path, then atomically rename: concurrent
+    # builders (pytest-xdist workers, anonymize --num-procs fan-out) must
+    # never CDLL a half-written .so
+    tmp = f"{out}.build.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", out],
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", tmp],
             check=True, capture_output=True)
+        os.replace(tmp, out)
         return out
     except (OSError, subprocess.CalledProcessError):
         _BUILD_FAILED = True
         return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():
