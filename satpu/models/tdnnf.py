@@ -314,7 +314,13 @@ class TDNNFBatchNorm(nn.Module):
             use_running_average=not train, use_bias=False, use_scale=False,
             momentum=0.9, epsilon=1e-5, axis=-1, name="bn",
         )(h)
-        return nn.relu(h)
+        h = nn.relu(h)
+        if self.compute_dtype == "bfloat16" and not train:
+            # serving: store inter-layer activations bf16 — the next layer's
+            # splice slices and matmul inputs stream half the HBM bytes (the
+            # matmul casts to bf16 anyway; BN stats/affine stay f32)
+            h = h.astype(jnp.bfloat16)
+        return h
 
 
 class VectorQuantizerEMA(nn.Module):
