@@ -65,6 +65,32 @@ def framed_rfft_sqmag(frames: jnp.ndarray, n_fft: int, offset: int = 0,
 
 
 @functools.lru_cache(maxsize=None)
+def _fused_frame_mats(window_size: int, nfft: int, window_type: str,
+                      blackman_coeff: float, remove_dc: bool,
+                      preemph: float):
+    """DC-removal, pre-emphasis and the analysis window are all linear maps
+    on a frame, so they fold into the DFT matrices: one [ws, bins] matmul
+    pair replaces three elementwise passes over the [B, m, ws] frame tensor
+    plus the plain DFT (built in float64; numerically identical to the
+    stepwise pipeline within float rounding)."""
+    n = window_size
+    M = np.eye(n, dtype=np.float64)
+    if remove_dc:
+        M = M @ (np.eye(n) - np.ones((n, n)) / n)
+    if preemph != 0.0:
+        P = np.eye(n)
+        P[np.arange(1, n), np.arange(1, n)] = 1.0
+        for i in range(1, n):
+            P[i - 1, i] -= preemph
+        P[0, 0] -= preemph  # kaldi: first sample pre-emphasized against itself
+        M = M @ P
+    w = _window_function(window_type, window_size, blackman_coeff).astype(np.float64)
+    M = M * w[None, :]
+    C, S = _rdft_mats(n, nfft)
+    return ((M @ C).astype(np.float32), (M @ S).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
 def _window_function(window_type: str, window_size: int, blackman_coeff: float) -> np.ndarray:
     n = np.arange(window_size, dtype=np.float64)
     if window_type == "hanning":
@@ -230,6 +256,28 @@ def fbank(
     padded_window_size = _next_power_of_2(window_size) if round_to_power_of_two else window_size
 
     frames = frame_signal(x, window_size, window_shift, snip_edges)  # [B, m, ws]
+
+    if dither == 0.0 and not use_energy:
+        # hot path (BN extraction): DC-removal + pre-emphasis + window fold
+        # into the DFT matrices (_fused_frame_mats) — two matmuls straight
+        # from the raw frames, no elementwise passes over [B, m, ws]
+        Cf, Sf = (jnp.asarray(m) for m in _fused_frame_mats(
+            window_size, padded_window_size, window_type, blackman_coeff,
+            remove_dc_offset, preemphasis_coefficient))
+        P = jax.lax.Precision.HIGH
+        re = jnp.matmul(frames, Cf, precision=P)
+        im = jnp.matmul(frames, Sf, precision=P)
+        power = re * re + im * im
+        spectrum = power if use_power else jnp.sqrt(jnp.maximum(power, 0.0))
+        bank = jnp.asarray(mel_banks(num_mel_bins, padded_window_size,
+                                     sample_frequency, low_freq, high_freq,
+                                     vtln_low, vtln_high, vtln_warp))
+        mel_energies = jnp.einsum("bmf,nf->bmn", spectrum, bank)
+        if use_log_fbank:
+            mel_energies = jnp.log(jnp.maximum(mel_energies, LOG_EPS))
+        if subtract_mean:
+            mel_energies = mel_energies - jnp.mean(mel_energies, axis=1, keepdims=True)
+        return mel_energies
 
     if dither != 0.0:
         key = dither_key if dither_key is not None else jax.random.PRNGKey(0)
