@@ -245,6 +245,11 @@ def main(argv=None):
                              jnp.where(frac < 0.9, 1.0 / 5.0, 0.0))
 
     freeze_filter = None
+    if opts.freeze_encoder and opts.model != "tdnnf_spkadv":
+        raise ValueError(
+            "freeze_encoder is the spkadv train_asi phase (reference "
+            "tdnnf_bn_spkadv_train_asi) and requires model = tdnnf_spkadv; "
+            "for the wav2vec2 front use its built-in freeze schedule")
     if opts.freeze_encoder:
         # reference tuning/tdnnf_spkadv.py:265-281: everything below the
         # prefinal layers frozen; prefinal_chain/prefinal_xent/chain_output/
