@@ -13,8 +13,8 @@ if "xla_cpu_collective_timeout_seconds" not in flags:
     # 8 virtual devices are threads on (possibly) one core: the default 40 s
     # collective-rendezvous termination timeout can fire from pure scheduler
     # starvation under suite load
-    flags += (" --xla_cpu_collective_timeout_seconds=300"
-              " --xla_cpu_collective_call_terminate_timeout_seconds=300")
+    flags += (" --xla_cpu_collective_timeout_seconds=900"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
 os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 

@@ -22,8 +22,8 @@ os.environ["XLA_FLAGS"] = (
     # virtual devices are threads on possibly one core: the default 40 s
     # collective-rendezvous termination timeout can fire from scheduler
     # starvation under load
-    + " --xla_cpu_collective_timeout_seconds=300"
-    + " --xla_cpu_collective_call_terminate_timeout_seconds=300").strip()
+    + " --xla_cpu_collective_timeout_seconds=900"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=900").strip()
 
 import jax  # noqa: E402
 

@@ -142,11 +142,13 @@ def _mesh_cli_env():
     # The 8 virtual devices are threads on (possibly) one core: the default
     # 40 s collective-rendezvous termination timeout can fire from pure
     # scheduler starvation under load (observed: F0818 rendezvous.cc crashes
-    # on the 1-core CI host). Give the rendezvous room to breathe.
+    # on the 1-core CI host, including one thread starving past 300 s while
+    # the pytest parent compiled concurrently). The timeout only matters when
+    # a thread is genuinely stuck, so make it generous: 900 s.
     env["XLA_FLAGS"] = (
         "--xla_force_host_platform_device_count=8"
-        " --xla_cpu_collective_timeout_seconds=300"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=300")
+        " --xla_cpu_collective_timeout_seconds=900"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=900")
     env["SATPU_JAX_CACHE"] = env.get("SATPU_TEST_JAX_CACHE",
                                      "/tmp/satpu_test_jax_cache")
     return env
@@ -167,7 +169,7 @@ def test_train_asv_driver_local_mesh(tmp_path):
          "--examples-per-speaker", "2", "--minibatch-size", "8",
          "--epochs", "1", "--channels", "32", "--embedding-size", "16"],
         env=_mesh_cli_env(), cwd=os.path.dirname(os.path.dirname(__file__)),
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=560)
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=1100)
     out = r.stdout.decode()
     assert r.returncode == 0, out[-3000:]
     assert "data-parallel mesh over 8 devices" in out, out[-3000:]
@@ -191,7 +193,7 @@ def test_train_asr_driver_local_mesh(tmp_path):
          "--model", "tdnnf", "--hidden-dim", "16", "--bottleneck-dim", "8",
          "--prefinal-bottleneck-dim", "8"],
         env=_mesh_cli_env(), cwd=os.path.dirname(os.path.dirname(__file__)),
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=560)
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=1100)
     out = r.stdout.decode()
     assert r.returncode == 0, out[-3000:]
     assert "data-parallel mesh over 8 devices" in out, out[-3000:]
