@@ -10,10 +10,11 @@ README.md ("recorded"), or are re-measured on the current device with
 
 Workloads & shapes (matching README's numbers):
 - serving  : convert+f0, B=128 x 10 s, bf16 policy          (recorded 3892 a-s/s)
-- chain    : LF-MMI train step, B=16 x 3 s, 3280 pdfs,
-             synthetic 1600-state/12800-arc den graph, Adam (recorded 30 ms)
+- chain    : LF-MMI train step, B=16 x 3 s, 3200 pdfs, destination-factored
+             1601-state chain-topology den graph, Adam      (recorded 15.2 ms)
 - gan      : fused D+G step, B=32 x 1.04 s segments         (recorded 395 ms)
-- asv      : ECAPA-512 ArcMargin step, B=128 x 3 s          (recorded 36.5 ms f32)
+- gan_tpu  : shipped hifigan_tpu.ini recipe, B=128 bf16     (recorded 521.4 ms)
+- asv      : ECAPA-512 ArcMargin step, B=128 x 3 s          (recorded 33.6 ms f32)
 
 v5e peak: 197 TFLOP/s bf16, ~98.5 TFLOP/s fp32 (per chip). cost_analysis
 counts algebraic FLOPs of the lowered HLO (fused elementwise included), so
@@ -39,8 +40,9 @@ RECORDED = {  # hard-synced v5e measurements (README.md)
     "gan": {"sec_per_step": 0.395},
     # hifigan_tpu.ini recipe: B=128, bf16 policy (521.4 ms/step hard-synced)
     "gan_tpu": {"sec_per_step": 0.5214},
-    # f32 36.5 ms; the bf16 autocast policy (train_asv --compute-dtype
-    # bfloat16) measures 28.8 ms at the same shape
+    # f32 33.6 ms after the STFT-as-DFT-matmul frontend rewrite; the bf16
+    # autocast policy (train_asv --compute-dtype bfloat16) measures 25.0 ms
+    # at the same shape
     "asv": {"sec_per_step": 0.0336},
 }
 
@@ -227,9 +229,14 @@ def main():
     if os.path.exists("BENCH_MFU.json"):  # merge: partial runs keep other rows
         with open("BENCH_MFU.json") as f:
             out = json.load(f)
+        # rows for renamed/removed workloads, or computed against RECORDED
+        # values that have since changed, must not persist silently
+        out = {k: v for k, v in out.items()
+               if k in RECORDED and v.get("recorded") == RECORDED[k]}
     for name in names:
         res = globals()[name]()
         rec = RECORDED[name]
+        res["recorded"] = rec  # stamp the denominator this row was computed at
         if "audio_sec_per_sec" in rec:
             flops_per_sec = res["flops_per_audio_sec"] * rec["audio_sec_per_sec"]
         else:

@@ -134,24 +134,9 @@ def test_train_asr_driver_smoke(tmp_path):
 
 
 def _mesh_cli_env():
-    import os as _os
+    from conftest import mesh_cli_env
 
-    env = dict(_os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""  # skip the axon plugin in subprocesses
-    # The 8 virtual devices are threads on (possibly) one core: the default
-    # 40 s collective-rendezvous termination timeout can fire from pure
-    # scheduler starvation under load (observed: F0818 rendezvous.cc crashes
-    # on the 1-core CI host, including one thread starving past 300 s while
-    # the pytest parent compiled concurrently). The timeout only matters when
-    # a thread is genuinely stuck, so make it generous: 900 s.
-    env["XLA_FLAGS"] = (
-        "--xla_force_host_platform_device_count=8"
-        " --xla_cpu_collective_timeout_seconds=900"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=900")
-    env["SATPU_JAX_CACHE"] = env.get("SATPU_TEST_JAX_CACHE",
-                                     "/tmp/satpu_test_jax_cache")
-    return env
+    return mesh_cli_env()
 
 
 def test_train_asv_driver_local_mesh(tmp_path):

@@ -124,16 +124,10 @@ def test_eval_anon_serve_mesh(tmp_path):
     if not native.available():
         pytest.skip("native decoder unavailable")
 
+    from conftest import mesh_cli_env
+
     graph_path, words_path, ckpt, data, arpa = _make_eval_fixture(tmp_path)
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["XLA_FLAGS"] = (
-        "--xla_force_host_platform_device_count=8"
-        " --xla_cpu_collective_timeout_seconds=300"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=300")
-    env["SATPU_JAX_CACHE"] = env.get("SATPU_TEST_JAX_CACHE",
-                                     "/tmp/satpu_test_jax_cache")
+    env = mesh_cli_env()
     results = tmp_path / "results_mesh"
     r = subprocess.run(
         [sys.executable, "-m", "satpu.bin.eval_anon",
@@ -142,7 +136,7 @@ def test_eval_anon_serve_mesh(tmp_path):
          "--rescore-lm", arpa, "--batch-size", "8", "--serve-mesh", "true",
          "--results", str(results)],
         env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=560)
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=1100)
     out = r.stdout.decode()
     assert r.returncode == 0, out[-3000:]
     assert "serve_mesh: loglike batches sharded over 8 devices" in out, out[-2000:]
