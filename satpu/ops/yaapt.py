@@ -297,13 +297,24 @@ def viterbi_path(local: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
     aux = costs[:-1, None, :] + jnp.moveaxis(trans, 2, 0)[1:]  # [T-1, C, C]
     preds = last_argmin(aux, axis=2)  # [T-1, C]
     end = C - 1 - jnp.argmin(costs[-1][::-1])
-    # backtrace: path_t = (K_{t+1} o K_{t+2} o ... o K_{T-1})(end); compose
-    # predecessor maps with a reverse associative scan (map composition is
-    # associative: combine(f, g) = f[g] applies g first)
-    suffix = jax.lax.associative_scan(
-        lambda f, g: jnp.take_along_axis(g, f, axis=-1), preds, axis=0,
-        reverse=True)  # suffix[t] = K_{t+1} o ... o K_{T-1} evaluated pointwise
-    path = jnp.concatenate([suffix[:, end], jnp.array([end])])
+    # backtrace: compose predecessor maps with a reverse associative scan.
+    # combine(f, g) = g[f] — but map composition via take_along_axis lowers
+    # to per-row dynamic gathers (a slow TPU custom call: that scan alone
+    # was ~13 ms of the 114 ms B=128 x 10 s F0 dispatch). The equivalent
+    # one-hot select g[f][x] = sum_i [f(x)==i] * g(i) is C^2 exact-integer
+    # VPU elementwise work per step. (A 0/1-matrix matmul composition was
+    # tried first: batched CxC matmuls with C<=6 lower to tiny MXU dots and
+    # measured ~4x WORSE than the gather scan.)
+    iota_c = jnp.arange(C)
+
+    def compose(f, g):
+        oh = f[..., :, None] == iota_c
+        return jnp.sum(jnp.where(oh, g[..., None, :], 0), axis=-1)
+
+    suffix = jax.lax.associative_scan(compose, preds, axis=0, reverse=True)
+    # suffix[t] applied to `end` without the dynamic row gather suffix[:, end]
+    head = jnp.sum(jnp.where(iota_c[None, :] == end, suffix, 0), axis=-1)
+    path = jnp.concatenate([head, jnp.array([end])])
     return path  # [T]
 
 
@@ -450,7 +461,11 @@ def shc_all_frames(filtered_nl: jnp.ndarray, n_frames: int, frame_size: int,
     mag = banded_dft_mag(frames, nfft, 0, top_bin)
     mag = jnp.pad(mag, ((0, 0), (half_window, 0)))
     I = max_shc - min_shc + 1
-    if _use_pallas_shc():
+    impl = _shc_impl()
+    if impl == "pallas":
+        shc_band = _shc_band_matmul_pallas(mag, min_shc, I, num_harmonics + 1,
+                                           window_length)
+    elif impl == "pallas_slices":
         shc_band = _shc_band_pallas(mag, min_shc, I, num_harmonics + 1,
                                     window_length)
     else:
@@ -458,8 +473,9 @@ def shc_all_frames(filtered_nl: jnp.ndarray, n_frames: int, frame_size: int,
         # stride-(h+1) lane slice — measured 30% faster in isolation but
         # SLOWER in the fused shc graph (shc 36.8 -> 40.9 ms at B=128x10s);
         # the flat static gather fuses better with the DFT matmul. Mosaic
-        # rejects strided vector slices, so a VMEM-resident Pallas kernel
-        # remains blocked on the out-of-kernel deinterleave cost.)
+        # rejects strided vector slices, so out-of-kernel deinterleave for
+        # the Pallas kernel goes through the one-hot matmul in
+        # _shc_band_matmul_pallas, the TPU default.)
         gathered = mag[:, jnp.asarray(gather.reshape(-1))].reshape(
             (n_frames,) + gather.shape)
         shc_band = jnp.sum(jnp.prod(gathered, axis=2), axis=2)  # [F, I]
@@ -468,12 +484,37 @@ def shc_all_frames(filtered_nl: jnp.ndarray, n_frames: int, frame_size: int,
     return shc
 
 
-def _use_pallas_shc() -> bool:
-    # measured on a v5e at B=64x10s: the kernel itself is VMEM-resident and
-    # cheap, but the XLA-side phase deinterleave (lane-strided slices) costs
-    # more than the gather it replaces (get_f0 242 ms vs 127 ms) — so the
-    # gather formulation stays the default and the kernel is opt-in
-    return os.environ.get("SATPU_PALLAS_SHC", "") == "1"
+def _shc_impl() -> str:
+    """Select the SHC band implementation.
+
+    - ``pallas`` (TPU default): one-hot deinterleave matmul (an exact MXU
+      gather) + the VMEM-resident product-accumulate kernel. The original
+      XLA gather formulation re-reads ~19k HBM elements per frame and cost
+      ~26 ms of the 114 ms B=128 x 10 s F0 dispatch; the matmul+kernel form
+      moves the index work onto the MXU.
+    - ``gather`` (CPU default): the flat static-gather formulation.
+    - ``pallas_slices``: the legacy strided-slice deinterleave variant
+      (measured slower: XLA lane-strided slices are expensive; kept for
+      A/B). ``SATPU_PALLAS_SHC=1`` is honored as an alias.
+
+    Override with ``SATPU_SHC_IMPL=gather|pallas|pallas_slices``. The auto
+    rule keys on where the computation will actually run: Pallas kernels
+    need a real TPU (tests pin jax_default_device to CPU while the axon TPU
+    platform is still registered, so default_backend() alone is not enough).
+    """
+    impl = os.environ.get("SATPU_SHC_IMPL", "auto")
+    if impl in ("gather", "pallas", "pallas_slices"):
+        return impl
+    if os.environ.get("SATPU_PALLAS_SHC", "") == "1":
+        return "pallas_slices"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+        dd = jax.config.jax_default_device
+        if dd is not None and getattr(dd, "platform", None) != "tpu":
+            on_tpu = False
+    except Exception:
+        on_tpu = False
+    return "pallas" if on_tpu else "gather"
 
 
 def _shc_band_pallas(mag: jnp.ndarray, min_shc: int, n_out: int, n_harm: int,
@@ -509,6 +550,23 @@ def _shc_band_pallas(mag: jnp.ndarray, min_shc: int, n_out: int, n_harm: int,
         ]
         packs.append(jnp.concatenate(phases, axis=1))  # [F, s*Lp_pad]
 
+    return _shc_pallas_from_packs(packs, F, min_shc, n_out, I_pad, n_harm,
+                                  window_length, Lp_pad, block_frames,
+                                  interpret)
+
+
+def _shc_pallas_from_packs(packs, F, min_shc, n_out, I_pad, n_harm,
+                           window_length, Lp_pad, block_frames, interpret):
+    """Product-accumulate SHC kernel over stride-deinterleaved phase packs.
+
+    ``packs[h]`` is [F, (h+1)*Lp_pad] with pack[h][f, r*Lp_pad + q] =
+    mag[f, q*(h+1) + r]; the (h, j) SHC term is then the stride-1 slice
+    pack[h][:, (j %% s)*Lp_pad + min_shc + j//s :][:I_pad] (s = h+1), which
+    Mosaic supports. Each program holds one block of frames in VMEM, so HBM
+    traffic is one pack read + one band write per frame.
+    """
+    from jax.experimental import pallas as pl
+
     F_pad = ((F + block_frames - 1) // block_frames) * block_frames
     packs = [jnp.pad(pk, ((0, F_pad - F), (0, 0))) for pk in packs]
 
@@ -537,6 +595,57 @@ def _shc_band_pallas(mag: jnp.ndarray, min_shc: int, n_out: int, n_harm: int,
         interpret=interpret,
     )(*packs)
     return out[:F, :n_out]
+
+
+@functools.lru_cache(maxsize=8)
+def _shc_deinterleave_mats(M: int, n_harm: int, Lp_pad: int):
+    """One-hot phase-deinterleave matrices (host-side constants).
+
+    D_s [M, s*Lp_pad] with D_s[m, r*Lp_pad + q] = [m == q*s + r], so
+    mag @ D_s lays out pack_s[f, r*Lp_pad + q] = mag[f, q*s + r] (zero
+    beyond M, matching the zero-padded phases the kernel expects).
+    """
+    mats = []
+    q = np.arange(Lp_pad)
+    for s in range(1, n_harm + 1):
+        D = np.zeros((M, s * Lp_pad), np.float32)
+        for r in range(s):
+            m = q * s + r
+            ok = m < M
+            D[m[ok], r * Lp_pad + q[ok]] = 1.0
+        mats.append(D)
+    return tuple(mats)
+
+
+def _shc_band_matmul_pallas(mag: jnp.ndarray, min_shc: int, n_out: int,
+                            n_harm: int, window_length: int,
+                            block_frames: int = 128,
+                            interpret: bool = False) -> jnp.ndarray:
+    """SHC band: one-hot deinterleave MATMUL + the Pallas kernel (TPU default).
+
+    The strided-slice deinterleave in _shc_band_pallas is what made the
+    kernel path lose to the XLA gather (lane-strided slices of [F, M] are
+    expensive on this compiler); a 0/1 matrix at MXU_PRECISION is instead an
+    EXACT gather (bf16x3 represents f32 exactly; one nonzero per output
+    column) that runs at matmul speed, after which every kernel slice is
+    stride-1.
+    """
+    F, M = mag.shape
+    lanes = 128
+    I_pad = ((n_out + lanes - 1) // lanes) * lanes
+    Lp = min_shc + I_pad + window_length
+    Lp_pad = ((Lp + lanes - 1) // lanes) * lanes
+    # pad the frame axis BEFORE the deinterleave (the [F, sum(s)*Lp_pad]
+    # pack pad was a ~1 GB copy at B=128 x 10 s; padding mag costs ~1/4 of
+    # that) and emit one matmul per stride so no pack is a slice copy of a
+    # fused matmul output
+    F_pad = ((F + block_frames - 1) // block_frames) * block_frames
+    magp = jnp.pad(mag, ((0, F_pad - F), (0, 0)))
+    packs = [jnp.matmul(magp, jnp.asarray(D), precision=MXU_PRECISION)
+             for D in _shc_deinterleave_mats(M, n_harm, Lp_pad)]
+    return _shc_pallas_from_packs(packs, F_pad, min_shc, n_out, I_pad, n_harm,
+                                  window_length, Lp_pad, block_frames,
+                                  interpret)[:F]
 
 
 def peaks_frame(data: jnp.ndarray, delta: float, maxpeaks: int, p: Dict[str, float]):
@@ -572,16 +681,24 @@ def peaks_frame(data: jnp.ndarray, delta: float, maxpeaks: int, p: Dict[str, flo
     merit_all = jnp.where(valid, d_n, -1.0)
     # top-maxpeaks by merit desc, ties by lag order: iterative argmax+mask
     # (argmax returns the first occurrence) — a full lane-shuffle sort per
-    # frame was one of the hotter ops in the device profile
+    # frame was one of the hotter ops in the device profile. The masking and
+    # the selection run on one-hot rows instead of .at[idx].set / fancy
+    # indexing: per-row dynamic scatters/gathers are slow TPU custom calls,
+    # where the where+reduce forms fuse into the surrounding elementwise work.
+    pos_iota = jnp.arange(merit_all.shape[0])
+
     def top1(carry, _):
         m = carry
-        idx = jnp.argmax(m)
-        return m.at[idx].set(-jnp.inf), idx
+        oh = pos_iota == jnp.argmax(m)
+        return jnp.where(oh, -jnp.inf, m), oh
 
-    _, order = jax.lax.scan(top1, merit_all, None, length=maxpeaks)
-    sel_valid = valid[order]
-    pitch = jnp.where(sel_valid, jnp.asarray(n_pos)[order].astype(jnp.float32) * delta, 0.0)
-    merit = jnp.where(sel_valid, d_n[order], 0.0)
+    _, order_oh = jax.lax.scan(top1, merit_all, None, length=maxpeaks)
+    # order_oh [maxpeaks, P]: exactly one True per row -> select via masked sum
+    sel_valid = jnp.any(order_oh & valid[None, :], axis=1)
+    pos_sel = jnp.sum(jnp.where(order_oh, jnp.asarray(n_pos, jnp.float32)[None, :], 0.0), axis=1)
+    d_sel = jnp.sum(jnp.where(order_oh, d_n[None, :], 0.0), axis=1)
+    pitch = jnp.where(sel_valid, pos_sel * delta, 0.0)
+    merit = jnp.where(sel_valid, d_sel, 0.0)
     numpeaks = jnp.sum(valid.astype(jnp.int32))
     numpeaks = jnp.minimum(numpeaks, maxpeaks)
 
@@ -636,13 +753,16 @@ def spec_track(filtered_nl: jnp.ndarray, energy, vuv, n_frames: int,
     delta1 = jnp.abs(vp - 0.8 * avg_voiced) * (3.0 - vm)
     delta1 = jnp.where(valid[None, :], delta1, INF)
     index = jnp.argmin(delta1, axis=0)
-    cols = jnp.arange(n_frames)
-    peak_minmrt = vp[index, cols]
-    merit_minmrt = vm[index, cols]
+    # per-column row select/assign as one-hot masks (maxpeaks rows) instead
+    # of fancy-index gathers + scatters
+    index_oh = jnp.arange(vp.shape[0])[:, None] == index[None, :]  # [C, F]
+    peak_minmrt = jnp.sum(jnp.where(index_oh, vp, 0.0), axis=0)
+    merit_minmrt = jnp.sum(jnp.where(index_oh, vm, 0.0), axis=0)
     k_med = max(1, int(p["median_value"]) - 2)
-    peak_minmrt = medfilt(peak_minmrt, k_med, valid_len=num_voiced)
-    vp = vp.at[index, cols].set(jnp.where(valid, peak_minmrt, vp[index, cols]))
-    vm = vm.at[index, cols].set(jnp.where(valid, merit_minmrt, vm[index, cols]))
+    peak_minmrt_f = medfilt(peak_minmrt, k_med, valid_len=num_voiced)
+    new_peak = jnp.where(valid, peak_minmrt_f, peak_minmrt)
+    vp = jnp.where(index_oh, new_peak[None, :], vp)
+    vm = jnp.where(index_oh, merit_minmrt[None, :], vm)
 
     # k1 = dp5_k1 * std/avg is data-dependent (yaapt.py:267), so the DP takes
     # a traced scalar weight
@@ -690,7 +810,8 @@ def _dynamic5_traced(pitch_array, merit_array, num_valid, k1, f0_min):
     pad_trans = jnp.where(eye > 0, 0.0, INF)
     trans = jnp.where(jnp.arange(T)[None, None, :] < num_valid, trans, pad_trans)
     path = viterbi_path(local, trans)
-    return pitch_array[path, jnp.arange(T)]
+    path_oh = jnp.arange(C)[:, None] == path[None, :]
+    return jnp.sum(jnp.where(path_oh, pitch_array, 0.0), axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -786,17 +907,29 @@ def time_track(filtered: jnp.ndarray, spec_pitch, pitch_std, energy, vuv,
     is_peak = (d0 > left) & (d0 > right) & (d0 > p["nccf_thresh1"]) & peak_band
     any_peak = jnp.any(is_peak, axis=1)
     first_peak = jnp.argmax(is_peak, axis=1)  # index into ks of first peak
-    first_lag = lag_axis[first_peak]
+    first_lag = first_peak + glag_min  # ks is a contiguous arange
     phi_max = jnp.max(phi_m, axis=1)
 
     # branch A: phi_max > thresh2 -> candidate = first peak
-    # branch B: else -> same single peak but only if centered-argmax holds
-    win_idx = first_peak[:, None] + jnp.arange(-center, center + 1)[None, :]
-    win_idx = jnp.clip(win_idx, 0, K - 1)
-    wvals = jnp.take_along_axis(phi_m, win_idx, axis=1)
-    d_peak = jnp.take_along_axis(phi_m, first_peak[:, None], axis=1)[:, 0]
-    left_max = jnp.max(wvals[:, :center], axis=1)
-    right_max = jnp.max(wvals[:, center + 1 :], axis=1)
+    # branch B: else -> same single peak but only if centered-argmax holds.
+    # The centered check reads phi_m windows at the (dynamic) first_peak
+    # column with index clipping; per-row take_along_axis gathers are slow
+    # TPU custom calls, so compute sliding-window maxes once (edge padding
+    # reproduces the index-clip semantics exactly: clipped indices re-read
+    # the edge element) and select rows with a one-hot masked sum.
+    F_rows = phi_m.shape[0]
+    fp_oh = jnp.arange(K)[None, :] == first_peak[:, None]  # [F, K]
+    d_peak = jnp.sum(jnp.where(fp_oh, phi_m, 0.0), axis=1)
+    pad_l = jnp.concatenate(
+        [jnp.broadcast_to(phi_m[:, :1], (F_rows, center)), phi_m], axis=1)
+    lmax = jax.lax.reduce_window(pad_l, -jnp.inf, jax.lax.max,
+                                 (1, center), (1, 1), "VALID")[:, :K]
+    pad_r = jnp.concatenate(
+        [phi_m, jnp.broadcast_to(phi_m[:, -1:], (F_rows, center))], axis=1)
+    rmax = jax.lax.reduce_window(pad_r, -jnp.inf, jax.lax.max,
+                                 (1, center), (1, 1), "VALID")[:, 1 : K + 1]
+    left_max = jnp.sum(jnp.where(fp_oh, lmax, 0.0), axis=1)
+    right_max = jnp.sum(jnp.where(fp_oh, rmax, 0.0), axis=1)
     centered = (d_peak > left_max) & (d_peak >= right_max)
 
     useA = any_peak & (phi_max > p["nccf_thresh2"])
@@ -836,7 +969,11 @@ def refine(tp1, tm1, tp2, tm2, spec_pitch, energy, vuv, p: Dict[str, float]):
 
     idx = jnp.argsort(-time_merit, axis=0, stable=True)
     time_merit = jnp.flip(jnp.sort(time_merit, axis=0), axis=0)
-    time_pitch = jnp.take_along_axis(time_pitch, idx, axis=0)
+    # pitch reordered by the merit sort without take_along_axis (per-column
+    # dynamic gathers are slow TPU custom calls; maxcands is 6, so the
+    # one-hot select is 36 fused elementwise ops per frame)
+    idx_oh = idx[:, None, :] == jnp.arange(maxcands)[None, :, None]
+    time_pitch = jnp.sum(jnp.where(idx_oh, time_pitch[None, :, :], 0.0), axis=1)
 
     best_pitch = medfilt(time_pitch[0], int(p["median_value"])) * vuv
 
@@ -910,7 +1047,8 @@ def dynamic_final(ref_pitch, ref_merit, energy, p: Dict[str, float]):
     # broadcasts PCOST over axis1 (columns). To reuse viterbi_path (which
     # wants trans[next, prev, t]) pass the transpose.
     path = viterbi_path(local, jnp.transpose(trans, (1, 0, 2)))
-    return ref_pitch[path, jnp.arange(n_frames)]
+    path_oh = jnp.arange(num_cands)[:, None] == path[None, :]
+    return jnp.sum(jnp.where(path_oh, ref_pitch, 0.0), axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -175,6 +175,10 @@ def test_shc_pallas_kernel_matches_gather():
     out = Y._shc_band_pallas(mag, min_shc, I, H, J, block_frames=32,
                              interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # the TPU-default variant: one-hot deinterleave matmul + the same kernel
+    out2 = Y._shc_band_matmul_pallas(mag, min_shc, I, H, J, block_frames=32,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-4)
 
 
 def synth_corpus():
