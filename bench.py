@@ -8,12 +8,14 @@ default JAX device (one TPU chip under the driver).
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Measurement notes (device traces on a v5e chip):
-- at B=128 x 10 s the split is get_f0 ~119 ms + convert ~218 ms (BN 35 +
-  generator 183; generator runs at ~62% of bf16 peak) after the round-2
+- at B=128 x 10 s the split is get_f0 ~69 ms + convert ~215 ms (BN 35 +
+  generator 181; generator runs at ~62% of bf16 peak) after the round-2
   YAAPT rewrites (banded-DFT NCCF correlations, accumulated-block bandpass,
-  reduce_window peaks), bf16 inter-layer TDNNF activations and the fused
-  fbank frame matrices; the bf16 conv policy (compute_dtype="bfloat16",
-  waveform rel err ~2e-3) is on by default;
+  reduce_window peaks) and the round-3 one-hot gather/scatter elimination
+  (Viterbi backtrace / peaks top-k / SHC deinterleave as one-hot matmuls),
+  bf16 inter-layer TDNNF activations and the fused fbank frame matrices;
+  the bf16 conv policy (compute_dtype="bfloat16", waveform rel err ~2e-3)
+  is on by default;
 - F0 and convert stay TWO dispatches: fusing YAAPT's DP scans into the conv
   pipeline makes XLA schedule the whole graph ~3x slower;
 - inputs are staged on-device before timing: the serving pipeline overlaps

@@ -9,7 +9,7 @@ README.md ("recorded"), or are re-measured on the current device with
 ``block_until_ready`` can return early).
 
 Workloads & shapes (matching README's numbers):
-- serving  : convert+f0, B=128 x 10 s, bf16 policy          (recorded 3892 a-s/s)
+- serving  : convert+f0, B=128 x 10 s, bf16 policy          (recorded 4502.6 a-s/s)
 - chain    : LF-MMI train step, B=16 x 3 s, 3200 pdfs, destination-factored
              1601-state chain-topology den graph, Adam      (recorded 15.2 ms)
 - gan      : fused D+G step, B=32 x 1.04 s segments         (recorded 395 ms)
@@ -35,7 +35,7 @@ PEAK_BF16 = 197e12
 PEAK_F32 = 98.5e12
 
 RECORDED = {  # hard-synced v5e measurements (README.md)
-    "serving": {"audio_sec_per_sec": 3892.0},
+    "serving": {"audio_sec_per_sec": 4502.6},
     "chain": {"sec_per_step": 0.0152},
     "gan": {"sec_per_step": 0.395},
     # hifigan_tpu.ini recipe: B=128, bf16 policy (521.4 ms/step hard-synced)
