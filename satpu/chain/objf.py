@@ -214,6 +214,91 @@ def _try_factor_den(g: GraphArrays, max_dense: int = 32_000_000) -> Optional[Den
                        np.maximum(pdf_self, 0).astype(np.int32))
 
 
+def _exec_platform() -> str:
+    """Platform computation actually runs on: the configured default device
+    wins over the backend ranking (tests route to CPU via jax_default_device
+    while the axon TPU plugin still registers backend 'tpu')."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
+def _pallas_den_enabled(num_states: int) -> bool:
+    """Route the factored den recursion through the Pallas FB kernels.
+
+    Opt-in (SATPU_PALLAS_FB=1; on non-TPU platforms this runs the Pallas
+    interpreter — slow, tests only). Not default yet: the one available
+    chip was contention-degraded (~0.5% of peak on a plain matmul) when the
+    kernel landed, so the XLA-vs-Pallas comparison could not be trusted;
+    flip the default once a clean hard-synced measurement shows a win.
+    The padded [S, S] matrix must fit VMEM alongside the streamed blocks."""
+    import os
+
+    flag = os.environ.get("SATPU_PALLAS_FB", "").strip().lower()
+    if flag not in ("1", "on", "true"):
+        return False
+    s_pad = max(128, -(-num_states // 128) * 128)
+    if s_pad > 1792:  # ~12.8 MB f32: A must stay VMEM-resident
+        return False
+    return True
+
+
+def _den_forward_pallas(loglikes: jnp.ndarray, den: DenominatorGraph,
+                        leaky_hmm_coefficient: float) -> jnp.ndarray:
+    """Factored den recursion via the Pallas TPU FB kernels (pallas_fb.py).
+
+    Builds the padded graph constants host-side at trace time and hoists the
+    per-state emission matmuls (same math as the XLA factored branch), then
+    runs the T-step recursion as one kernel per direction with the [S, S]
+    matrix VMEM-resident."""
+    from .pallas_fb import den_logprob_pallas
+
+    interpret = _exec_platform() != "tpu"
+    f = den.factored
+    S = den.start_logprob.shape[0]
+    P = loglikes.shape[-1]
+    B, T = loglikes.shape[0], loglikes.shape[1]
+    S_pad = max(128, -(-S // 128) * 128)
+    sp = (0, S_pad - S)
+
+    # graph tensors may be numpy (trace-time constants) OR tracers (den
+    # crossing a nested-jit boundary becomes arguments), so build everything
+    # with jnp ops
+    G_fwd = jnp.pad(jnp.asarray(_one_hot_f32(f.pdf_fwd, P, axis_first=True),
+                                jnp.float32), ((0, 0), sp))   # [P, S_pad]
+    G_self = jnp.pad(jnp.asarray(_one_hot_f32(f.pdf_self, P, axis_first=True),
+                                 jnp.float32), ((0, 0), sp))
+    ll_fwd = jnp.matmul(loglikes, G_fwd, precision=_HI)       # [B, T, S_pad]
+    ll_self = jnp.matmul(loglikes, G_self, precision=_HI)
+
+    A = jnp.pad(jnp.asarray(f.A_fwd, jnp.float32), (sp, sp))
+    log_self = jnp.pad(jnp.asarray(f.log_self, jnp.float32), sp,
+                       constant_values=NEG_INF)
+    log_init = jnp.pad(
+        jnp.log(jnp.maximum(jnp.asarray(den.initial_probs, jnp.float32),
+                            1e-20)), sp, constant_values=NEG_INF)
+    final = jnp.pad(
+        jnp.maximum(jnp.asarray(den.final_logprob, jnp.float32), NEG_INF),
+        sp, constant_values=NEG_INF)
+    start = jnp.pad(
+        jnp.maximum(jnp.asarray(den.start_logprob, jnp.float32), NEG_INF),
+        sp, constant_values=NEG_INF)
+
+    B_pad = -(-B // 8) * 8
+    if B_pad != B:
+        pad = [(0, B_pad - B), (0, 0), (0, 0)]
+        ll_fwd = jnp.pad(ll_fwd, pad)
+        ll_self = jnp.pad(ll_self, pad)
+    alpha0 = jnp.broadcast_to(start, (B_pad, S_pad))
+
+    value = den_logprob_pallas(
+        ll_fwd, ll_self, alpha0, jnp.asarray(A), jnp.asarray(log_self),
+        jnp.asarray(log_init), jnp.asarray(final), leaky_hmm_coefficient,
+        interpret=interpret)
+    return value[:B]
+
+
 def den_forward(loglikes: jnp.ndarray, den: DenominatorGraph,
                 leaky_hmm_coefficient: float = 1e-5,
                 use_factored: Optional[bool] = None) -> jnp.ndarray:
@@ -244,6 +329,8 @@ def den_forward(loglikes: jnp.ndarray, den: DenominatorGraph,
 
     if use_factored is None:
         use_factored = den.factored is not None
+    if use_factored and _pallas_den_enabled(S):
+        return _den_forward_pallas(loglikes, den, leaky_hmm_coefficient)
     if use_factored:
         f = den.factored
         # per-STATE emission scores for all frames, one one-hot matmul each

@@ -219,6 +219,51 @@ def test_den_factored_matches_arc_formulation(rng):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_den_pallas_matches_xla(rng, monkeypatch):
+    """The Pallas FB kernels (pallas_fb.py, interpreter mode on CPU) must
+    match the XLA factored den recursion — values AND gradients — including
+    batch padding (B=3 pads to 8) and state padding (S pads to 128)."""
+    import jax
+    import jax.numpy as jnp
+
+    from satpu.chain.objf import DenominatorGraph, den_forward
+    from satpu.chain.prep import BiphoneTree, make_den_fst
+
+    P = 5
+    phones = [f"p{i}" for i in range(1, P + 1)]
+    seqs = [rng.integers(1, P + 1, 12).tolist() for _ in range(8)]
+    tree = BiphoneTree.build(seqs, phones, biphone=True)
+    trans = np.full((P + 1, P + 1), 1e-8)
+    final = np.full(P + 1, 0.2)
+    for seq in seqs:
+        prev = 0
+        for p in seq:
+            trans[prev, p] += 1.0
+            prev = p
+    trans /= trans.sum(axis=1, keepdims=True)
+    den_fst = make_den_fst(trans, final, tree)
+    den = DenominatorGraph.from_fst(den_fst, num_pdfs=tree.num_pdfs)
+    assert den.factored is not None
+
+    B, T = 3, 7
+    ll = jnp.asarray(rng.standard_normal((B, T, tree.num_pdfs)).astype(np.float32))
+
+    def run(leaky):
+        monkeypatch.setenv("SATPU_PALLAS_FB", "1")
+        fast = np.asarray(den_forward(ll, den, leaky, use_factored=True))
+        g_fast = np.asarray(jax.grad(lambda x: jnp.sum(
+            den_forward(x, den, leaky, use_factored=True)))(ll))
+        monkeypatch.setenv("SATPU_PALLAS_FB", "0")
+        ref = np.asarray(den_forward(ll, den, leaky, use_factored=True))
+        g_ref = np.asarray(jax.grad(lambda x: jnp.sum(
+            den_forward(x, den, leaky, use_factored=True)))(ll))
+        np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(g_fast, g_ref, rtol=1e-3, atol=1e-4)
+
+    for leaky in (0.0, 1e-5):
+        run(leaky)
+
+
 def test_den_factored_rejects_per_arc_pdfs():
     """A graph whose incoming arcs carry different pdfs must fall back to the
     per-arc formulation (factored is None)."""
