@@ -41,9 +41,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-# host-local cache (a repo-local cache ships stale AOT artifacts across hosts)
-jax.config.update("jax_compilation_cache_dir", "/tmp/satpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# host-local cache (a repo-local cache ships stale AOT artifacts across
+# hosts), namespaced per process config so differently-flagged processes
+# can't poison each other's entries
+from satpu.utils import config as _satpu_config
+
+_satpu_config.enable_compilation_cache(
+    os.environ.get("SATPU_JAX_CACHE", "/tmp/satpu_jax_cache"))
 import numpy as np
 
 def _ref_denominator() -> float:

@@ -220,7 +220,8 @@ def _exec_platform() -> str:
     while the axon TPU plugin still registers backend 'tpu')."""
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev.platform
+        # jax accepts both Device objects and platform strings here
+        return dev if isinstance(dev, str) else dev.platform
     return jax.default_backend()
 
 
@@ -228,7 +229,10 @@ def _pallas_den_enabled(num_states: int) -> bool:
     """Route the factored den recursion through the Pallas FB kernels.
 
     Opt-in (SATPU_PALLAS_FB=1; on non-TPU platforms this runs the Pallas
-    interpreter — slow, tests only). Not default yet: the one available
+    interpreter — slow, tests only). NOTE: the flag is read at TRACE time
+    inside jitted callers (chain_objf_and_grad), so it must be set before
+    the first compilation — toggling it afterwards has no effect on already
+    jit-cached programs. Not default yet: the one available
     chip was contention-degraded (~0.5% of peak on a plain matmul) when the
     kernel landed, so the XLA-vs-Pallas comparison could not be trusted;
     flip the default once a clean hard-synced measurement shows a win.

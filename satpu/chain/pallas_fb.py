@@ -141,9 +141,12 @@ def _bwd_kernel(log_leak, g_final_ref, alpha_t_ref, alpha_n_ref, llf_ref,
         alpha, A_hi, A_lo, log_self_row, llf_ref[0], lls_ref[0],
         log_init_row, log_leak)
 
-    # logaddexp(cross, selfp) branch weights; the maximum(., NEG_INF) clamp
-    # passes gradient only where newa is live
-    live = newa > NEG_INF / 2
+    # logaddexp(cross, selfp) branch weights; the maximum(lae, NEG_INF) clamp
+    # passes gradient wherever it is inactive, i.e. lae > NEG_INF <=> newa >
+    # NEG_INF (newa = max(lae, NEG_INF) >= NEG_INF always) — the same
+    # subgradient jnp.maximum gives the XLA path's autodiff, including
+    # pathologically negative lae in (-inf, NEG_INF)
+    live = newa > NEG_INF
     w_cross = jnp.where(live, g_next * _guard_exp(cross, newa), 0.0)
     w_self = jnp.where(live, g_next * _guard_exp(selfp, newa), 0.0)
     dllf_ref[0] = w_cross

@@ -53,6 +53,14 @@ class GanHparams:
     # reference trains under torch autocast, tuning/hifigan.py:99). Params,
     # losses, mel comparison and the SN scale stay f32.
     compute_dtype: str = "float32"
+    # CI/dryrun shrink knobs for the discriminator stacks; the defaults are
+    # reference-exact (checkpoint-compatible). The 8-virtual-device mesh
+    # dryrun/tests are execution-bound on full-width replicated discriminator
+    # weight gradients (x8 partitions on one core) — a reduced set exercises
+    # the identical train-step sharding at a fraction of the work.
+    mpd_periods: tuple = (2, 3, 5, 7, 11)
+    msd_scales: int = 3
+    disc_channel_scale: float = 1.0
 
 
 @flax.struct.dataclass
@@ -99,8 +107,10 @@ def init_gan_state(anon_model: AnonymizationNet, anon_variables, rng,
                    h: GanHparams = GanHparams()) -> Tuple[GanTrainState, Any, Any]:
     """Initialize discriminators + optimizers. Returns (state, mpd, msd)."""
     dt = jnp.bfloat16 if h.compute_dtype == "bfloat16" else None
-    mpd = MultiPeriodDiscriminator(dtype=dt)
-    msd = MultiScaleDiscriminator(dtype=dt)
+    mpd = MultiPeriodDiscriminator(dtype=dt, periods=h.mpd_periods,
+                                   channel_scale=h.disc_channel_scale)
+    msd = MultiScaleDiscriminator(dtype=dt, num_scales=h.msd_scales,
+                                  channel_scale=h.disc_channel_scale)
     dummy = jnp.zeros((1, h.segment_size, 1))
     k1, k2 = jax.random.split(rng)
     # jit the inits: eager per-op init of the big 2D convs is minutes on CPU

@@ -367,6 +367,15 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     dtype: Any = None
+    # CI/dryrun-only shrink of the fixed reference channel ladder
+    # (32/128/512/1024); 1.0 = reference parity. Scaled tiny configs keep the
+    # exact graph structure (conv count, weight norm, fmap taps) at a fraction
+    # of the replicated weight-grad work — the 8-virtual-device mesh dryrun
+    # was execution-bound on full-width discriminator weight gradients.
+    channel_scale: float = 1.0
+
+    def _c(self, c: int) -> int:
+        return c if self.channel_scale == 1.0 else max(4, int(c * self.channel_scale))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -380,16 +389,17 @@ class DiscriminatorP(nn.Module):
         x = x.reshape(b, t // self.period, self.period, c)  # NHWC, H=time
         channels = [(1, 32), (32, 128), (128, 512), (512, 1024)]
         for i, (cin, cout) in enumerate(channels):
-            x = WNConv2d(cin, cout, (self.kernel_size, 1), (self.stride, 1),
+            x = WNConv2d(self._c(cin) if i else 1, self._c(cout),
+                         (self.kernel_size, 1), (self.stride, 1),
                          (_get_padding(5, 1), 0), dtype=self.dtype,
                          name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x.astype(jnp.float32))
-        x = WNConv2d(1024, 1024, (self.kernel_size, 1), (1, 1), (2, 0),
+        x = WNConv2d(self._c(1024), self._c(1024), (self.kernel_size, 1), (1, 1), (2, 0),
                      dtype=self.dtype, name="convs_4")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x.astype(jnp.float32))
-        x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), dtype=self.dtype,
+        x = WNConv2d(self._c(1024), 1, (3, 1), (1, 1), (1, 0), dtype=self.dtype,
                      name="conv_post")(x)
         x = x.astype(jnp.float32)
         fmap.append(x)
@@ -401,6 +411,10 @@ class DiscriminatorS(nn.Module):
 
     use_spectral_norm: bool = False
     dtype: Any = None  # bf16 policy for the WN scales; SN scale stays f32
+    channel_scale: float = 1.0  # CI/dryrun shrink; see DiscriminatorP
+
+    def _c(self, c: int) -> int:
+        return c if self.channel_scale == 1.0 else max(4, int(c * self.channel_scale))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_sn: bool = False):
@@ -417,6 +431,10 @@ class DiscriminatorS(nn.Module):
         b = x.shape[0]
         x = x[:, :, None, :]  # [B, T, 1, C] as NHWC with H=time
         for i, (cin, cout, k, s, p, g) in enumerate(spec):
+            if self.channel_scale != 1.0:
+                # scaled channels don't keep group divisibility; groups stay
+                # reference-exact at scale 1.0 only
+                cin, cout, g = (self._c(cin) if i else 1), self._c(cout), 1
             if self.use_spectral_norm:
                 x = SNConv(cin, cout, (k, 1), (s, 1), (p, 0), groups=g,
                            name=f"convs_{i}")(x, update_sn=update_sn)
@@ -425,10 +443,11 @@ class DiscriminatorS(nn.Module):
                              dtype=self.dtype, name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x.astype(jnp.float32))
+        c_last = self._c(1024)
         if self.use_spectral_norm:
-            x = SNConv(1024, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x, update_sn=update_sn)
+            x = SNConv(c_last, 1, (3, 1), (1, 1), (1, 0), name="conv_post")(x, update_sn=update_sn)
         else:
-            x = WNConv2d(1024, 1, (3, 1), (1, 1), (1, 0), dtype=self.dtype,
+            x = WNConv2d(c_last, 1, (3, 1), (1, 1), (1, 0), dtype=self.dtype,
                          name="conv_post")(x)
         x = x.astype(jnp.float32)
         fmap.append(x)
@@ -443,15 +462,22 @@ def _avg_pool1d(x: jnp.ndarray, kernel: int = 4, stride: int = 2, padding: int =
 
 
 class MultiPeriodDiscriminator(nn.Module):
-    """Periods 2,3,5,7,11 (hifigan/nn.py:305-331)."""
+    """Periods 2,3,5,7,11 (hifigan/nn.py:305-331).
+
+    ``periods``/``channel_scale`` are CI/dryrun shrink knobs; the defaults are
+    reference-exact (param names and shapes match the released checkpoints)."""
 
     dtype: Any = None
+    periods: tuple = (2, 3, 5, 7, 11)
+    channel_scale: float = 1.0
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for i, p in enumerate((2, 3, 5, 7, 11)):
-            d = DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i}")
+        for i, p in enumerate(self.periods):
+            d = DiscriminatorP(p, dtype=self.dtype,
+                               channel_scale=self.channel_scale,
+                               name=f"discriminators_{i}")
             y_d_r, fmap_r = d(y)
             y_d_g, fmap_g = d(y_hat)
             y_d_rs.append(y_d_r)
@@ -462,18 +488,24 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class MultiScaleDiscriminator(nn.Module):
-    """3 scales with avg-pool downsampling (hifigan/nn.py:364-394)."""
+    """3 scales with avg-pool downsampling (hifigan/nn.py:364-394).
+
+    ``num_scales``/``channel_scale`` are CI/dryrun shrink knobs; the defaults
+    are reference-exact."""
 
     dtype: Any = None
+    num_scales: int = 3
+    channel_scale: float = 1.0
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, update_sn: bool = False):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for i in range(3):
+        for i in range(self.num_scales):
             if i != 0:
                 y = _avg_pool1d(y)
                 y_hat = _avg_pool1d(y_hat)
             d = DiscriminatorS(use_spectral_norm=(i == 0), dtype=self.dtype,
+                               channel_scale=self.channel_scale,
                                name=f"discriminators_{i}")
             y_d_r, fmap_r = d(y, update_sn=update_sn) if i == 0 else d(y)
             y_d_g, fmap_g = d(y_hat) if i == 0 else d(y_hat)

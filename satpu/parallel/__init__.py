@@ -10,3 +10,4 @@ from .mesh import (  # noqa: F401
     shard_batch,
 )
 from . import multihost  # noqa: F401
+from .hostmesh import cpu_mesh_xla_flags, ensure_cpu_mesh_flags  # noqa: F401

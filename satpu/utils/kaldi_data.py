@@ -227,6 +227,59 @@ def copy_data_dir(src: str, dest: str) -> None:
                 fo.write(fi.read())
 
 
+_UTT_TABLES = ("wav.scp", "utt2spk", "text", "utt2dur", "utt2len")
+
+
+def subset_data_dir(src: str, utt_keep, dest: str) -> None:
+    """Kaldi ``utils/subset_data_dir.sh --utt-list``: keep only ``utt_keep``
+    rows of every per-utterance table, regenerate spk2gender/spk2utt for the
+    surviving speakers (reference egs/anon/vctk/local/data_prep_vpc.sh:36-62
+    builds the VPC enroll/trial subsets this way)."""
+    keep = set(utt_keep)
+    os.makedirs(dest, exist_ok=True)
+    spks = set()
+    for name in _UTT_TABLES:
+        p = os.path.join(src, name)
+        if not os.path.exists(p):
+            continue
+        table = filter_scp(keep, read_keyed_text(p))
+        write_keyed_text(table, os.path.join(dest, name))
+        if name == "utt2spk":
+            spks = set(table.values())
+            write_keyed_text(
+                {s: " ".join(us) for s, us in
+                 sorted(spk2utt_from_utt2spk(table).items())},
+                os.path.join(dest, "spk2utt"))
+    g = os.path.join(src, "spk2gender")
+    if os.path.exists(g) and spks:
+        write_keyed_text(filter_scp(spks, read_keyed_text(g)),
+                         os.path.join(dest, "spk2gender"))
+
+
+def combine_data_dirs(dest: str, srcs) -> None:
+    """Kaldi ``utils/combine_data.sh``: concatenate the per-utterance tables
+    of ``srcs`` (first occurrence wins on duplicate utts), regenerate
+    spk2utt/spk2gender."""
+    os.makedirs(dest, exist_ok=True)
+    for name in _UTT_TABLES + ("spk2gender",):
+        merged: Dict[str, str] = {}
+        found = False
+        for src in srcs:
+            p = os.path.join(src, name)
+            if os.path.exists(p):
+                found = True
+                for k, v in read_keyed_text(p).items():
+                    merged.setdefault(k, v)
+        if found:
+            write_keyed_text(dict(sorted(merged.items())),
+                             os.path.join(dest, name))
+        if name == "utt2spk" and found:
+            write_keyed_text(
+                {s: " ".join(us) for s, us in
+                 sorted(spk2utt_from_utt2spk(merged).items())},
+                os.path.join(dest, "spk2utt"))
+
+
 # ---------------------------------------------------------------------------
 # WavScp dataset (reference utils/wav_scp_dataset.py)
 # ---------------------------------------------------------------------------

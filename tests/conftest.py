@@ -5,17 +5,19 @@ XLA's host platform with 8 virtual devices, which exercises the same mesh /
 NamedSharding / collective code paths.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_collective_timeout_seconds" not in flags:
-    # 8 virtual devices are threads on (possibly) one core: the default 40 s
-    # collective-rendezvous termination timeout can fire from pure scheduler
-    # starvation under suite load
-    flags += (" --xla_cpu_collective_timeout_seconds=900"
-              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
 os.environ["XLA_FLAGS"] = flags
+# pins the CPU-mesh scheduler (collective-ordering deadlock fix) and the
+# 120 s fail-fast collective timeouts — see satpu/parallel/hostmesh.py
+from satpu.parallel.hostmesh import ensure_cpu_mesh_flags
+
+ensure_cpu_mesh_flags()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
@@ -27,9 +29,23 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 # Persistent compilation cache: the suite's wall time is dominated by XLA CPU
-# compiles on this 1-core host (round-1 weak #8); warm runs skip them.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("SATPU_TEST_JAX_CACHE", "/tmp/satpu_test_jax_cache"))
+# compiles on this 1-core host (round-1 weak #8); warm runs skip them. The
+# root is namespaced per process configuration (jaxlib/XLA_FLAGS/platform),
+# like satpu.utils.config.enable_compilation_cache: XLA:CPU AOT executables
+# embed codegen details the jax cache key does not cover, so differently-
+# flagged processes must not share entries. (The cpu_aot_loader feature-
+# mismatch spam appears even on valid same-config reloads; it is noise.)
+import hashlib
+
+import jaxlib
+
+_cache_fp = hashlib.sha1(":".join([
+    jaxlib.__version__, os.environ.get("XLA_FLAGS", ""),
+    os.environ.get("JAX_PLATFORMS", "")]).encode()).hexdigest()[:10]
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.environ.get("SATPU_TEST_JAX_CACHE",
+                                "/tmp/satpu_test_jax_cache"), _cache_fp))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -41,29 +57,23 @@ def cpu_devices():
 def mesh_cli_env():
     """Subprocess env for CLI tests that run on the virtual 8-device CPU mesh.
 
-    The 8 virtual devices are threads on (possibly) one core: the default
-    40 s collective-rendezvous termination timeout can fire from pure
-    scheduler starvation under load (observed: F0818 rendezvous.cc crashes
-    on the 1-core CI host, including one thread starving past 300 s while
-    the pytest parent compiled concurrently). The timeout only matters when
-    a thread is genuinely stuck, so make it generous: 900 s. Subprocess
-    timeouts in callers should sit above it (>= 1100 s).
+    Uses the canonical virtual-mesh XLA flags (satpu/parallel/hostmesh.py):
+    the non-concurrency HLO scheduler (collective-ordering deadlock fix) and
+    fail-fast 120 s collective timeouts. Subprocess timeouts in callers
+    should cover compile time on a cold cache (>= 600 s on this 1-core
+    host), not the collective timeout.
     """
+    from satpu.parallel.hostmesh import cpu_mesh_xla_flags
+
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""  # skip the axon plugin in subprocesses
-    env["XLA_FLAGS"] = (
-        "--xla_force_host_platform_device_count=8"
-        " --xla_cpu_collective_timeout_seconds=900"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+    env["XLA_FLAGS"] = cpu_mesh_xla_flags(8)
     env["SATPU_JAX_CACHE"] = env.get("SATPU_TEST_JAX_CACHE",
                                      "/tmp/satpu_test_jax_cache")
     return env
 
 import importlib
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pytest

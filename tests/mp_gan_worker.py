@@ -16,28 +16,34 @@ pid = int(sys.argv[1])
 port = sys.argv[2]
 out_path = sys.argv[3]
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4"
-    # virtual devices are threads on possibly one core: the default 40 s
-    # collective-rendezvous termination timeout can fire from scheduler
-    # starvation under load
-    + " --xla_cpu_collective_timeout_seconds=900"
-    + " --xla_cpu_collective_call_terminate_timeout_seconds=900").strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from satpu.parallel.hostmesh import cpu_mesh_xla_flags  # noqa: E402
+
+# canonical virtual-mesh flags: non-concurrency scheduler (collective-
+# ordering deadlock fix) + fail-fast 120 s collective timeouts
+os.environ["XLA_FLAGS"] = cpu_mesh_xla_flags(
+    4, extra=os.environ.get("XLA_FLAGS", ""))
 
 import jax  # noqa: E402
 
 # persistent compile cache: without it each worker recompiles the GAN step
-# (~minutes on a 1-core host), which is what the 480 s timeout guards
+# (~minutes on a 1-core host), which is what the 480 s timeout guards.
+# Namespaced per process config like conftest (both workers share one).
+import hashlib  # noqa: E402
+
+import jaxlib  # noqa: E402
+
+_fp = hashlib.sha1(":".join([
+    jaxlib.__version__, os.environ.get("XLA_FLAGS", ""),
+    os.environ.get("JAX_PLATFORMS", "")]).encode()).hexdigest()[:10]
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("SATPU_TEST_JAX_CACHE",
-                                 "/tmp/satpu_test_jax_cache"))
+                  os.path.join(os.environ.get("SATPU_TEST_JAX_CACHE",
+                                              "/tmp/satpu_test_jax_cache"), _fp))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from satpu.parallel import DATA_AXIS, make_mesh  # noqa: E402
 from satpu.parallel.multihost import (  # noqa: E402
@@ -81,8 +87,12 @@ def main():
 
     variables = model.init(rng, f0[:1], bn[:1], spk[:1],
                            method=model.forward_decoder)
+    # shrunk discriminators: this worker validates 2-process gloo mesh
+    # formation + a collective train step, not loss semantics; see
+    # test_gan_training.py's mesh test for the rationale
     h = GanHparams(segment_size=seg, n_fft=64, num_mels=8, hop_size=16,
-                   win_size=64)
+                   win_size=64, mpd_periods=(2,), msd_scales=1,
+                   disc_channel_scale=1 / 16)
     state, mpd, msd = init_gan_state(model, dict(variables), rng, h)
     step = make_gan_train_step(model, mpd, msd, h)
 

@@ -8,7 +8,7 @@ pytestmark = pytest.mark.slow
 import conftest as helpers
 
 
-def _tiny_setup():
+def _tiny_setup(**hp_over):
     import jax
 
     from satpu.models.anonymizer import AnonymizationNet, AnonymizerConfig
@@ -31,7 +31,7 @@ def _tiny_setup():
     spk = np.eye(cfg.num_speakers, dtype=np.float32)[[0, 1]]
     variables = model.init(rng, f0, bn, spk, method=model.forward_decoder)
     h = GanHparams(segment_size=seg, n_fft=64, num_mels=8, hop_size=16, win_size=64,
-                   fmax=8000.0)
+                   fmax=8000.0, **hp_over)
     state, mpd, msd = init_gan_state(model, dict(variables), rng, h)
     step = make_gan_train_step(model, mpd, msd, h)
     batch = {
@@ -64,7 +64,13 @@ def test_gan_train_step_data_parallel_mesh():
 
     from satpu.parallel import DATA_AXIS, make_mesh
 
-    model, state, step, batch = _tiny_setup()
+    # shrunk discriminators: this test validates the train-step SHARDING
+    # (replicated params, DP batch, grad all-reduces, spectral state); the
+    # full-width replicated weight grads execute x8 serially on the virtual
+    # mesh and dominated the suite wall time (loss semantics are covered at
+    # full width by test_gan_train_step_runs_and_learns)
+    model, state, step, batch = _tiny_setup(
+        mpd_periods=(2,), msd_scales=1, disc_channel_scale=1 / 16)
     devices = conftest_cpu_devices()
     mesh = make_mesh(n_data=8, devices=devices)
     repl = NamedSharding(mesh, P())

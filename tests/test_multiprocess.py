@@ -44,7 +44,9 @@ def test_two_process_distributed_gan_step(tmp_path):
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=480)
+            # two workers compile the GAN step concurrently on (possibly)
+            # one core; cold namespaced cache -> both pay the full compile
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
