@@ -228,19 +228,22 @@ def _exec_platform() -> str:
 def _pallas_den_enabled(num_states: int) -> bool:
     """Route the factored den recursion through the Pallas FB kernels.
 
-    Opt-in (SATPU_PALLAS_FB=1; on non-TPU platforms this runs the Pallas
+    DEFAULT ON when executing on TPU (SATPU_PALLAS_FB=0 opts out;
+    SATPU_PALLAS_FB=1 forces it on elsewhere, where it runs the Pallas
     interpreter — slow, tests only). NOTE: the flag is read at TRACE time
     inside jitted callers (chain_objf_and_grad), so it must be set before
     the first compilation — toggling it afterwards has no effect on already
-    jit-cached programs. Not default yet: the one available
-    chip was contention-degraded (~0.5% of peak on a plain matmul) when the
-    kernel landed, so the XLA-vs-Pallas comparison could not be trusted;
-    flip the default once a clean hard-synced measurement shows a win.
+    jit-cached programs. Clean hard-synced A/B on an uncontended v5e
+    (2026-08-19, 1601-state den, T=99): den fwd+grad 11.06 -> 7.30 ms at
+    B=64 (1.52x) and 3.38 -> 2.98 ms at B=16 (1.13x) vs the XLA factored
+    scan, values+grads matching to 1e-5 rel.
     The padded [S, S] matrix must fit VMEM alongside the streamed blocks."""
     import os
 
     flag = os.environ.get("SATPU_PALLAS_FB", "").strip().lower()
-    if flag not in ("1", "on", "true"):
+    if flag in ("0", "off", "false"):
+        return False
+    if flag not in ("1", "on", "true") and _exec_platform() != "tpu":
         return False
     s_pad = max(128, -(-num_states // 128) * 128)
     if s_pad > 1792:  # ~12.8 MB f32: A must stay VMEM-resident

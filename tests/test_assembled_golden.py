@@ -216,3 +216,100 @@ def test_bucketed_loglikes_match_reference_infer(tmp_path, rng):
         got = out[i, :n]
         assert got.shape == ref[i].shape, (got.shape, ref[i].shape)
         np.testing.assert_allclose(got, ref[i], rtol=1e-3, atol=5e-3)
+
+
+def test_f0_tracker_conditioning_sensitivity(tmp_path, rng):
+    """Bound the YAAPT-parity risk on the SERVING output (round-3 verdict #6).
+
+    tests/test_yaapt.py proves satpu's tracker agrees with the reference's
+    torch YAAPT to functional tolerances (vuv agreement >0.9, median voiced
+    f0 error <2%). This test bounds what those residual deviations do to the
+    actual anonymized waveform: run the same assembled converted generator
+    (import_reference_checkpoint, as in test_assembled_convert_matches_
+    reference) twice — once conditioned on the REFERENCE torch-YAAPT track,
+    once on satpu's — and compare log-mel spectrograms with the exact mel
+    settings the GAN trains against (hifigan/trainer.py mel_kw = satpu.ops.
+    mel.mel_spectrogram defaults; reference hifigan/model.py:376-382 trains
+    mean|Δlog-mel| * 45).
+
+    A structural bound first: forward_decoder applies per-utterance CMVN to
+    the voiced frames (anonymizer.py:113-114, f0_norm="utt", var_norm=True),
+    so any AFFINE tracker error — a global pitch bias or scale — is removed
+    exactly before conditioning (verified here: a uniform +25% shift on all
+    voiced frames changes the output mel by ~1e-5). Only SHAPE and VOICING
+    deviations of the tracker can reach the generator at all.
+
+    Thresholds: the assertion is primarily a CONTRAST — the tracker-induced
+    mel delta must be far below the delta caused by a genuinely wrong track
+    SHAPE: a per-frame alternating ±25% zigzag on voiced frames (several
+    sigma beyond YAAPT's measured q90 rel-err of 8%, and not CMVN-removable)
+    plus voicing flipped on every 4th frame (vs measured vuv agreement
+    >0.88). The contrast self-calibrates for the generator's (random-init,
+    offline CI) f0 sensitivity. The absolute cap is set against the GAN's
+    own training-scale mel-L1: converged reference recipes sit at
+    loss_mel/45 ~= 0.22-0.4 mean|Δlog-mel|, so a tracker-induced delta
+    <=0.10 is below the vocoder's own reconstruction noise floor.
+    Measured on this corpus at commit time: tracker-induced 0.0003,
+    wrong-shape contrast 0.0267 (89x), affine 0.000012 (CMVN-removed).
+    """
+    import torch
+
+    from satpu import infer_helper
+    from satpu.ops.mel import mel_spectrogram
+    from test_yaapt import OPTS, _ref_yaapt
+
+    S = 4
+    pt_path, _, _ = _make_reference_final_pt(tmp_path, num_speakers=S)
+    ckpt_path = infer_helper.import_reference_checkpoint(
+        pt_path, str(tmp_path / "final.ckpt"), kind="anonymizer")
+    model, variables, meta = infer_helper.load_model(ckpt_path)
+
+    wav = _speech_like(rng, 2, 32000)
+    tids = np.asarray([1, 3], np.int32)
+
+    f0_sat = np.asarray(model.get_f0(wav), np.float32)
+    ref_mod = _ref_yaapt()
+    with torch.no_grad():
+        f0_ref = np.stack([
+            ref_mod.yaapt(torch.from_numpy(w[None, :].copy()),
+                          dict(OPTS)).numpy()[0]
+            for w in wav]).astype(np.float32)
+    assert f0_ref.shape == f0_sat.shape, (f0_ref.shape, f0_sat.shape)
+    # Affine errors are CMVN-removed (see docstring): assert that first, so
+    # the structural claim stays tested.
+    f0_affine = np.where(f0_ref > 0, f0_ref * 1.25, f0_ref)
+    # The contrast arm perturbs SHAPE + VOICING, which CMVN cannot absorb:
+    # alternating ±25% zigzag on voiced frames, voicing killed every 4th.
+    zigzag = np.where(np.arange(f0_ref.shape[1]) % 2 == 0, 1.25, 0.8)
+    f0_wrong = np.where(f0_ref > 0, f0_ref * zigzag[None, :], f0_ref)
+    f0_wrong[:, ::4] = 0.0
+
+    def convert(f0):
+        return np.asarray(model.apply(variables, wav, f0, tids,
+                                      method=model.convert))
+
+    out_ref = convert(f0_ref)
+    out_sat = convert(f0_sat)
+    out_wrong = convert(f0_wrong)
+    out_affine = convert(f0_affine)
+
+    def mel_d(a, b):
+        return float(np.mean(np.abs(np.asarray(mel_spectrogram(a))
+                                    - np.asarray(mel_spectrogram(b)))))
+
+    d_tracker = mel_d(out_ref, out_sat)
+    d_wrong = mel_d(out_ref, out_wrong)
+    d_affine = mel_d(out_ref, out_affine)
+    print(f"\nmel deltas: tracker={d_tracker:.5f} wrong-shape={d_wrong:.5f} "
+          f"affine={d_affine:.6f}")
+    # structural: utt-CMVN removes affine tracker errors entirely
+    assert d_affine < 1e-3, (
+        f"affine +25% pitch shift should be CMVN-removed, got {d_affine:.5f}")
+    # contrast: the tracker delta must be a small fraction of a real f0 error
+    assert d_tracker < 0.5 * d_wrong, (
+        f"tracker-induced mel delta {d_tracker:.4f} not well below the "
+        f"zigzag/voicing-error contrast {d_wrong:.4f}")
+    # absolute: below the GAN's converged mel-L1 reconstruction scale
+    assert d_tracker < 0.10, (
+        f"tracker-induced mel delta {d_tracker:.4f} exceeds the 0.10 "
+        f"training-scale cap (converged recipes: ~0.22-0.4 mean|dlog-mel|)")
