@@ -70,13 +70,21 @@ def make_chain_optimizer(opts: ChainTrainOpts, grad_acc_steps: int = 1):
 
 def init_chain_state(model, rng, example_wav, optimizer) -> ChainTrainState:
     variables = model.init(rng, example_wav, train=False)
+    # NG preconditioner states are STORED stacked by shape group: the
+    # per-layer layout is ~456 small arrays on a 13-layer TDNNF, which cost
+    # a host-staging DMA each per step as jit arguments (~9 ms/step on the
+    # tunneled runtime); stacked they are ~24 buffers. The train step slices
+    # per-layer views on device (ngsgd.unstack_ng_state).
+    from .ngsgd import stack_ng_state
+
+    ng = variables.get("ng_state", {})
     return ChainTrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         vq_stats=variables.get("vq_stats", {}),
         opt_state=optimizer.init(variables["params"]),
-        ng_state=variables.get("ng_state", {}),
+        ng_state=stack_ng_state(ng) if ng else {},
     )
 
 
@@ -106,6 +114,10 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
     def train_step(state: ChainTrainState, wav, num_graphs, num_frames, rng,
                    **model_kwargs):
         use_ng = bool(state.ng_state)
+        # per-layer views of the stacked preconditioner states (device
+        # slices inside the jit; the stacked array stays one buffer)
+        from .ngsgd import unstack_ng_state
+        ng_per_layer = unstack_ng_state(state.ng_state) if use_ng else {}
 
         def loss_fn(params, ng_state):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -143,11 +155,19 @@ def make_chain_train_step(model, den: DenominatorGraph, optimizer,
                 metrics[str(name)] = jnp.mean(leaf)
             return loss, (metrics, new_vars)
 
-        # nat_affine's custom_vjp emits the UPDATED preconditioner states as
-        # the cotangent of the ng_state inputs: differentiating w.r.t. both
-        # slots yields (param grads, new NG states) in one backward pass.
-        (loss, (metrics, new_vars)), (grads, new_ng) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(state.params, state.ng_state)
+        # nat_affine's custom_vjp emits RAW param grads plus per-side Fisher
+        # statistics as the cotangent of the ng_state inputs; ONE batched
+        # phase then preconditions every layer's gradient and advances all
+        # preconditioner states (vmapped across same-shape layers, eighs
+        # batched — see ngsgd.precondition_gradients).
+        (loss, (metrics, new_vars)), (grads, ng_stats) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, ng_per_layer)
+        new_ng = state.ng_state
+        if use_ng:
+            from .ngsgd import NG_HYPER, precondition_gradients
+            grads, new_ng = precondition_gradients(
+                grads, state.ng_state, ng_stats,
+                hyper=NG_HYPER + (opts.compute_dtype,))
         opt_state = state.opt_state
         if lr_schedule is not None:
             opt_state = with_injected_lr(opt_state, lr_schedule(state.step))

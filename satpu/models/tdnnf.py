@@ -93,11 +93,13 @@ class NaturalAffineTransform(nn.Module):
     (chain/nn.py:54-137).
 
     With ``natural_gradient=True`` the layer runs through
-    ``ngsgd.nat_affine``: the forward stays a pure matmul for the MXU, while
-    the backward preconditions the weight/bias gradients with Kaldi's online
-    natural gradient. The preconditioner states live in the mutable
-    ``ng_state`` collection; the train step recovers their updates from the
-    gradient pytree (see satpu.chain.ngsgd docstring).
+    ``ngsgd.nat_affine``: the forward stays a pure matmul for the MXU, the
+    backward emits raw gradients plus per-side Fisher statistics, and the
+    chain train step preconditions all layers' gradients in one batched
+    phase (Kaldi's online natural gradient; see
+    ngsgd.precondition_gradients). The preconditioner states live in the
+    mutable ``ng_state`` collection; the train step recovers the statistics
+    from the gradient pytree (see satpu.chain.ngsgd docstring).
     """
 
     out_dim: int
@@ -117,7 +119,7 @@ class NaturalAffineTransform(nn.Module):
         # inference on an NG-trained checkpoint falls back to a plain matmul
         if (self.natural_gradient and self.use_bias
                 and (self.is_initializing() or self.has_variable("ng_state", "in"))):
-            from ..chain.ngsgd import nat_affine, ng_init_arrays
+            from ..chain.ngsgd import NG_HYPER, nat_affine, ng_init_arrays
 
             bias = self.param("bias", nn.initializers.normal(1.0), (1, self.out_dim))
             in_st = self.variable("ng_state", "in",
@@ -126,7 +128,7 @@ class NaturalAffineTransform(nn.Module):
                                    lambda: ng_init_arrays(self.out_dim))
             y2d = nat_affine(x.reshape(-1, feat_dim), weight, bias,
                              in_st.value, out_st.value,
-                             hyper=(4.0, 2000.0, 4, self.compute_dtype))
+                             hyper=NG_HYPER + (self.compute_dtype,))
             return y2d.reshape(*x.shape[:-1], self.out_dim)
         if self.compute_dtype == "bfloat16":
             y = jnp.einsum("...i,oi->...o", x.astype(jnp.bfloat16),

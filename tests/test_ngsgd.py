@@ -50,13 +50,15 @@ def test_ng_precondition_grad_shapes(rng):
     assert np.isfinite(np.asarray(gw)).all()
 
 
-def test_nat_affine_state_through_gradient(rng):
-    """nat_affine: preconditioned grads differ from plain, and the cotangent
-    of the state inputs is the advanced state (the train-step mechanism)."""
+def test_nat_affine_stats_and_batched_phase(rng):
+    """nat_affine emits RAW grads + statistics; precondition_gradients then
+    yields preconditioned grads that differ from plain and advanced states
+    (the train-step mechanism)."""
     import jax
     import jax.numpy as jnp
 
-    from satpu.chain.ngsgd import nat_affine, ng_init_arrays
+    from satpu.chain.ngsgd import (nat_affine, ng_init_arrays,
+                                   precondition_gradients)
 
     N, Din, Dout = 12, 8, 6
     x = jnp.asarray(rng.standard_normal((N, Din)), jnp.float32)
@@ -64,15 +66,87 @@ def test_nat_affine_state_through_gradient(rng):
     b = jnp.zeros((1, Dout), jnp.float32)
     si, so = ng_init_arrays(Din + 1), ng_init_arrays(Dout)
 
-    def loss(w, b, si, so):
-        return jnp.sum(nat_affine(x, w, b, si, so) ** 2)
+    def loss(params, ng):
+        return jnp.sum(nat_affine(x, params["weight"], params["bias"],
+                                  ng["layer"]["in"], ng["layer"]["out"]) ** 2)
 
-    gw, gb, new_si, new_so = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(w, b, si, so)
-    assert gw.shape == w.shape and gb.shape == b.shape
-    assert float(new_si["t"]) == 1.0 and float(new_so["t"]) == 1.0
+    params = {"weight": w, "bias": b}
+    ng = {"layer": {"in": si, "out": so}}
+    grads, stats = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, ng)
+    # raw gradients match plain autodiff exactly
     pw = jax.grad(lambda w: jnp.sum((x @ w.T + b[0]) ** 2))(w)
-    rel = float(jnp.max(jnp.abs(pw - gw)) / jnp.max(jnp.abs(pw)))
+    np.testing.assert_allclose(np.asarray(grads["weight"]), np.asarray(pw),
+                               rtol=1e-5)
+    # the batched phase preconditions and advances
+    grads2, ng2 = jax.jit(lambda g, n, s: precondition_gradients(
+        {"layer": g}, n, s))(grads, ng, stats)
+    assert float(ng2["layer"]["in"]["t"]) == 1.0
+    assert float(ng2["layer"]["out"]["t"]) == 1.0
+    gw2 = grads2["layer"]["weight"]
+    rel = float(jnp.max(jnp.abs(pw - gw2)) / jnp.max(jnp.abs(pw)))
     assert rel > 0.01, "NG-SGD had no effect on the weight gradient"
+
+
+def _f_matrix(W, d, rho):
+    """Reconstruct the full Fisher estimate W^T diag(d) W + rho (I - W^T W):
+    eigenvector sign/rotation-invariant comparison of subspace states."""
+    W, d = np.asarray(W), np.asarray(d)
+    D = W.shape[1]
+    return W.T @ np.diag(d) @ W + float(rho) * (np.eye(D) - W.T @ W)
+
+
+def test_batched_phase_matches_reference_path(rng):
+    """The stats-based batched phase reproduces ng_precondition_grad (the
+    original per-layer oracle) exactly: preconditioned grads AND updated
+    subspace states (compared as full Fisher matrices), both on update steps
+    (t=0) and non-update steps (t=1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from satpu.chain.ngsgd import (nat_affine, ng_init, ng_init_arrays,
+                                   ng_precondition_grad,
+                                   precondition_gradients)
+
+    N, Din, Dout = 24, 10, 7
+    x = jnp.asarray(rng.standard_normal((N, Din)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((Dout, Din)), jnp.float32) * 0.3
+    b = jnp.asarray(rng.standard_normal((1, Dout)), jnp.float32) * 0.1
+    g_out = jnp.asarray(rng.standard_normal((N, Dout)), jnp.float32)
+
+    for t in (0.0, 1.0):  # update step / plain step
+        si, so = ng_init_arrays(Din + 1), ng_init_arrays(Dout)
+        si = dict(si, t=jnp.asarray(t)); so = dict(so, t=jnp.asarray(t))
+
+        # --- oracle: the original per-layer path ---
+        s_in = ng_init(Din + 1)._replace(W=si["W"], d=si["d"], rho=si["rho"],
+                                         t=jnp.asarray(t, jnp.int32))
+        s_out = ng_init(Dout)._replace(W=so["W"], d=so["d"], rho=so["rho"],
+                                       t=jnp.asarray(t, jnp.int32))
+        s_in2, s_out2, gw_ref, gb_ref = ng_precondition_grad(
+            s_in, s_out, x, g_out)
+
+        # --- new path: stats from the vjp + batched phase ---
+        def loss(params, ng):
+            y = nat_affine(x, params["weight"], params["bias"],
+                           ng["l"]["in"], ng["l"]["out"])
+            return jnp.sum(y * g_out)  # cotangent of y is exactly g_out
+
+        params = {"weight": w, "bias": b}
+        ng = {"l": {"in": si, "out": so}}
+        grads, stats = jax.grad(loss, argnums=(0, 1))(params, ng)
+        grads2, ng2 = precondition_gradients({"l": grads}, ng, stats)
+
+        np.testing.assert_allclose(np.asarray(grads2["l"]["weight"]),
+                                   np.asarray(gw_ref), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(grads2["l"]["bias"][0]),
+                                   np.asarray(gb_ref), rtol=2e-4, atol=1e-5)
+        for side, ref in (("in", s_in2), ("out", s_out2)):
+            got = ng2["l"][side]
+            np.testing.assert_allclose(float(got["t"]), t + 1.0)
+            np.testing.assert_allclose(
+                _f_matrix(got["W"], got["d"], got["rho"]),
+                _f_matrix(ref.W, ref.d, ref.rho), rtol=5e-3, atol=1e-5,
+                err_msg=f"{side} state diverged at t={t}")
 
 
 def test_chain_train_step_with_natural_gradient(rng):
@@ -114,11 +188,11 @@ def test_chain_train_step_with_natural_gradient(rng):
     s_pl, step_pl = make_state_and_step(False)
     ns_ng, m_ng = step_ng(s_ng, wav, graphs, frames, jax.random.PRNGKey(1))
     ns_pl, m_pl = step_pl(s_pl, wav, graphs, frames, jax.random.PRNGKey(1))
-    # every preconditioner advanced exactly once
-    ts = [float(leaf) for path, leaf in
-          jax.tree_util.tree_flatten_with_path(ns_ng.ng_state)[0]
-          if getattr(path[-1], "key", "") == "t"]
-    assert ts and all(t == 1.0 for t in ts)
+    # every preconditioner advanced exactly once (stacked [L] t arrays)
+    ts = np.concatenate([np.asarray(leaf).ravel() for path, leaf in
+                         jax.tree_util.tree_flatten_with_path(ns_ng.ng_state)[0]
+                         if getattr(path[-1], "key", "") == "t"])
+    assert ts.size and (ts == 1.0).all()
     # parameters moved differently than the plain path
     d_ng = jax.tree_util.tree_map(lambda a, b: np.abs(np.asarray(a - b)).max(),
                                   ns_ng.params, s_ng.params)
