@@ -39,7 +39,11 @@ def _weight_norm(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 
 
 class WNConv1d(nn.Module):
-    """Weight-normed Conv1d, torch param layout [out, in, k]; input [B, T, C]."""
+    """Weight-normed Conv1d, torch param layout [out, in, k]; input [B, T, C].
+
+    setup-based (not compact) so the fused-MRF serving path can read the
+    materialized weights without convolving (``materialized()``); param
+    names/shapes are identical either way."""
 
     in_channels: int
     out_channels: int
@@ -51,17 +55,30 @@ class WNConv1d(nn.Module):
     use_bias: bool = True
     dtype: Any = None  # compute dtype (bf16 policy); params stay f32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        shape = (self.out_channels, self.in_channels // self.groups, self.kernel_size)
+    def setup(self):
+        shape = (self.out_channels, self.in_channels // self.groups,
+                 self.kernel_size)
         fan_in = shape[1] * shape[2]
-        bound = 1.0 / np.sqrt(fan_in)
-        v = self.param("weight_v", nn.initializers.normal(0.01), shape)
-        g = self.param("weight_g",
-                       lambda key, s: jnp.sqrt(jnp.sum(
-                           nn.initializers.normal(0.01)(key, shape) ** 2,
-                           axis=(1, 2), keepdims=True)), (self.out_channels, 1, 1))
-        w = _weight_norm(v, g)  # [out, in/g, k] (norm in f32 for stability)
+        self._bound = 1.0 / np.sqrt(fan_in)
+        self.weight_v = self.param("weight_v", nn.initializers.normal(0.01),
+                                   shape)
+        self.weight_g = self.param(
+            "weight_g",
+            lambda key, s: jnp.sqrt(jnp.sum(
+                nn.initializers.normal(0.01)(key, shape) ** 2,
+                axis=(1, 2), keepdims=True)), (self.out_channels, 1, 1))
+        if self.use_bias:
+            self.bias = self.param("bias",
+                                   nn.initializers.uniform(scale=2 * self._bound),
+                                   (self.out_channels,))
+
+    def materialized(self):
+        """(w [out, in/g, k] f32, bias [out] or None) after weight norm."""
+        return _weight_norm(self.weight_v, self.weight_g), (
+            self.bias if self.use_bias else None)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w, b = self.materialized()  # [out, in/g, k] (norm in f32 for stability)
         kernel = jnp.transpose(w, (2, 1, 0))  # -> [k, in/g, out]
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -84,7 +101,6 @@ class WNConv1d(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.groups)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.uniform(scale=2 * bound), (self.out_channels,))
             y = y + b.astype(y.dtype)
         return y
 
@@ -158,26 +174,51 @@ class WNConvTranspose1d(nn.Module):
 
 
 class ResBlock1(nn.Module):
-    """MRF residual block, 3 dilated + 3 plain convs (hifigan/nn.py:93-187)."""
+    """MRF residual block, 3 dilated + 3 plain convs (hifigan/nn.py:93-187).
+
+    setup-based: the list attributes auto-name the convs ``convs1_{i}`` /
+    ``convs2_{i}`` exactly as before, and ``gather_weights()`` exposes the
+    materialized stacked weights for the fused Pallas MRF serving path."""
 
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, int, int] = (1, 3, 5)
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.convs1 = [
+            WNConv1d(self.channels, self.channels, self.kernel_size,
+                     dilation=d, padding=_get_padding(self.kernel_size, d),
+                     dtype=self.dtype)
+            for d in self.dilation]
+        self.convs2 = [
+            WNConv1d(self.channels, self.channels, self.kernel_size,
+                     dilation=1, padding=_get_padding(self.kernel_size, 1),
+                     dtype=self.dtype)
+            for _ in self.dilation]
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for i, d in enumerate(self.dilation):
+        for c1, c2 in zip(self.convs1, self.convs2):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
-            xt = WNConv1d(self.channels, self.channels, self.kernel_size,
-                          dilation=d, padding=_get_padding(self.kernel_size, d),
-                          dtype=self.dtype, name=f"convs1_{i}")(xt)
+            xt = c1(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
-            xt = WNConv1d(self.channels, self.channels, self.kernel_size,
-                          dilation=1, padding=_get_padding(self.kernel_size, 1),
-                          dtype=self.dtype, name=f"convs2_{i}")(xt)
+            xt = c2(xt)
             x = xt + x
         return x
+
+    def gather_weights(self):
+        """(W1 [units, k, C, C], B1 [units, C], W2, B2) — W tap-major
+        ([k][in][out]) for satpu.ops.pallas_mrf.mrf_stage."""
+        def stack(convs):
+            ws, bs = [], []
+            for c in convs:
+                w, b = c.materialized()
+                ws.append(jnp.transpose(w, (2, 1, 0)))
+                bs.append(b)
+            return jnp.stack(ws), jnp.stack(bs)
+        w1, b1 = stack(self.convs1)
+        w2, b2 = stack(self.convs2)
+        return w1, b1, w2, b2
 
 
 class ResBlock2(nn.Module):
@@ -214,6 +255,11 @@ class CoreHifiGanConfig:
     # bf16_min_channels > 0 only when re-measuring on new hardware.
     compute_dtype: str = "float32"
     bf16_min_channels: int = 0
+    # serving-only: run each MRF resblock group as a fused Pallas kernel
+    # (satpu.ops.pallas_mrf) instead of 18 separate XLA convs per stage.
+    # FORWARD-ONLY (no VJP) — training paths must leave this False. Enabled
+    # by the anonymize pipeline / bench on TPU (opt out: SATPU_PALLAS_MRF=0).
+    fused_mrf: bool = False
 
 
 class CoreHifiGan(nn.Module):
@@ -241,12 +287,23 @@ class CoreHifiGan(nn.Module):
                 x = x.astype(jnp.float32)
             x = WNConvTranspose1d(ch_in, ch, k, u, padding=(k - u) // 2,
                                   dtype=dt, name=f"ups_{i}")(x)
-            xs = jnp.zeros_like(x)
-            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
-                                             c.resblock_dilation_sizes)):
-                xs = xs + ResBlock1(ch, rk, tuple(rd), dtype=dt,
-                                    name=f"resblocks_{i * num_kernels + j}")(x)
-            x = xs / num_kernels
+            rbs = [ResBlock1(ch, rk, tuple(rd), dtype=dt,
+                             name=f"resblocks_{i * num_kernels + j}")
+                   for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
+                                                    c.resblock_dilation_sizes))]
+            if c.fused_mrf and dt is not None:
+                # fused Pallas MRF stage (serving only, forward-only)
+                from ..ops.pallas_mrf import mrf_stage
+
+                weights = tuple(rb.gather_weights() for rb in rbs)
+                x = mrf_stage(x.astype(dt), weights,
+                              c.resblock_kernel_sizes,
+                              c.resblock_dilation_sizes)
+            else:
+                xs = jnp.zeros_like(x)
+                for rb in rbs:
+                    xs = xs + rb(x)
+                x = xs / num_kernels
         x = nn.leaky_relu(x)  # default slope 0.01 (archi.py:87 F.leaky_relu)
         # reflection pad (1, 0) on time (archi.py:75)
         x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
