@@ -68,10 +68,13 @@ def main():
     from satpu.models.anonymizer import AnonymizationNet, AnonymizerConfig
     from satpu.models.asrbn import TDNNFNetConfig
 
+    from satpu.ops.pallas_mrf import serving_fused_mrf_default
+
     cfg = AnonymizerConfig(
         asrbn=TDNNFNetConfig(output_dim=3280, bottleneck="vq", codebook_size=48),
         num_speakers=247,
-        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        fused_mrf=serving_fused_mrf_default())
     model = AnonymizationNet(cfg)
 
     # throughput scales with batch up to full lane occupancy: with the

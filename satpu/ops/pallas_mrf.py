@@ -64,6 +64,23 @@ def _exec_platform() -> str:
     return jax.default_backend()
 
 
+def serving_fused_mrf_default() -> bool:
+    """Whether SERVING entry points (anonymize pipeline, bench) should flip
+    ``CoreHifiGanConfig.fused_mrf``. The kernel is forward-only, so the model
+    itself can never auto-enable it (training shares CoreHifiGan); instead the
+    inference callers ask here: on by default on TPU, SATPU_PALLAS_MRF=0 opts
+    out, =1 forces it elsewhere (Pallas interpreter — slow, tests only).
+    Read at model-BUILD time, before any jit tracing."""
+    import os
+
+    flag = os.environ.get("SATPU_PALLAS_MRF", "").strip().lower()
+    if flag in ("0", "off", "false"):
+        return False
+    if flag in ("1", "on", "true"):
+        return True
+    return _exec_platform() == "tpu"
+
+
 def _leaky(x):
     # compare in f32: Mosaic has no bf16 cmpf ("Target does not support this
     # comparison"); two VPU casts are cheap
