@@ -60,7 +60,9 @@ _VMEM_LIMIT = int(100e6)
 def _exec_platform() -> str:
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev if isinstance(dev, str) else dev.platform
+        if isinstance(dev, str):
+            return dev.split(":")[0]  # "tpu:0" -> "tpu"
+        return dev.platform
     return jax.default_backend()
 
 
@@ -68,17 +70,25 @@ def serving_fused_mrf_default() -> bool:
     """Whether SERVING entry points (anonymize pipeline, bench) should flip
     ``CoreHifiGanConfig.fused_mrf``. The kernel is forward-only, so the model
     itself can never auto-enable it (training shares CoreHifiGan); instead the
-    inference callers ask here: on by default on TPU, SATPU_PALLAS_MRF=0 opts
-    out, =1 forces it elsewhere (Pallas interpreter — slow, tests only).
-    Read at model-BUILD time, before any jit tracing."""
+    inference callers ask here. Read at model-BUILD time, before jit tracing.
+
+    Default OFF everywhere: a hard-synced A/B on a v5e chip (2026-08-20,
+    both arms cold-compiled, flagship pipeline) measured the XLA module path
+    at 2137 a-s/s @ B=32 / ~4557 @ B=128 vs this kernel's 1028 @ B=32 /
+    1067 @ B=128 — the kernel's throughput is batch-insensitive (its grid
+    serializes and never fills the chip), a 2-4x LOSS vs letting XLA tile
+    the resblock convolutions. SATPU_PALLAS_MRF=1 force-enables it
+    (tests / future re-measurement); any other non-empty value is an error
+    so a typo'd opt-in/out can't be silently ignored."""
     import os
 
     flag = os.environ.get("SATPU_PALLAS_MRF", "").strip().lower()
-    if flag in ("0", "off", "false"):
+    if flag in ("", "0", "off", "false"):
         return False
     if flag in ("1", "on", "true"):
         return True
-    return _exec_platform() == "tpu"
+    raise ValueError(
+        f"SATPU_PALLAS_MRF={flag!r} not recognized; use 1/on/true or 0/off/false")
 
 
 def _leaky(x):
