@@ -64,17 +64,28 @@ def _ref_denominator() -> float:
 REF_GPU_RTF = _ref_denominator()
 
 
-def main():
-    from satpu.models.anonymizer import AnonymizationNet, AnonymizerConfig
+def flagship_config():
+    """The EXACT AnonymizerConfig the shipped pipeline serves: flagship
+    build params (TDNNF+VQ48 -> 3280-dim chain output, 247 libritts target
+    speakers) + the shared serving overrides that bin/anonymize applies via
+    infer_helper.serving_option_args. tests/test_serving_config.py asserts
+    this equals what infer_helper.load_model builds for the flagship
+    checkpoint, so the headline never measures an unreachable config."""
+    from satpu import infer_helper
+    from satpu.models.anonymizer import AnonymizerConfig
     from satpu.models.asrbn import TDNNFNetConfig
 
-    from satpu.ops.pallas_mrf import serving_fused_mrf_default
-
-    cfg = AnonymizerConfig(
+    return AnonymizerConfig(
         asrbn=TDNNFNetConfig(output_dim=3280, bottleneck="vq", codebook_size=48),
         num_speakers=247,
-        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
-        fused_mrf=serving_fused_mrf_default())
+        **infer_helper.serving_option_args(
+            os.environ.get("BENCH_DTYPE", "bfloat16")))
+
+
+def main():
+    from satpu.models.anonymizer import AnonymizationNet
+
+    cfg = flagship_config()
     model = AnonymizationNet(cfg)
 
     # throughput scales with batch up to full lane occupancy: with the

@@ -90,8 +90,9 @@ def main(argv=None):
     from .. import infer_helper
     from .pipeline import process_data
 
-    option_args = ({"compute_dtype": opts.compute_dtype}
-                   if opts.compute_dtype else None)
+    # the shared serving config (bench.py measures the identical one)
+    option_args = infer_helper.serving_option_args(
+        opts.compute_dtype or "bfloat16")
     model, variables, meta = infer_helper.load_model(opts.checkpoint,
                                                      option_args=option_args)
     speakers = meta.get("speakers") or [str(i) for i in range(model.cfg.num_speakers)]
