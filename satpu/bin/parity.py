@@ -41,6 +41,16 @@ BASELINES = {
     "vpc_b6": {  # tag hifigan_bn_tdnnf_600h_vq_48_v1 (README.md:127-137)
         "wer": 9.092, "eer_f": 21.146, "eer_m": 21.137,
     },
+    "vpc_b5_f0t": {  # B5 + f0-transformation=quant_16_awgn_2
+        # (README.md:139-152: tag hifigan_bn_tdnnf_wav2vec2_vq_48_v1
+        #  +f0-transformation=quant_16_awgn_2)
+        "wer": 4.814, "eer_f": 42.151, "eer_m": 40.755,
+    },
+    "vpc_inception": {  # single-speaker-retrained system, 600h BN
+        # (README.md:154-180: tag hifigan_inception_bn_tdnnf_wav2vec2_
+        #  train_600_vq_48_v1+f0-transformation=quant_16_awgn_2)
+        "wer": 4.209, "eer_f": 35.765, "eer_m": 35.195,
+    },
 }
 
 

@@ -24,14 +24,48 @@ from typing import Any, Dict, Optional, Tuple
 
 from . import infer_helper
 
-# tag -> (url, filename). URLs point at converted satpu checkpoints; in
-# air-gapped setups drop the files into the zoo dir under the same names.
+# tag -> (url, filename): every released reference tag (hubconf.py:46-87
+# anonymization + asr_bn lists, plus the inception model of README.md:149-180)
+# with a converter-ready filename. URLs point at converted satpu checkpoints
+# (none hosted yet); in air-gapped setups convert the reference release with
+#   python -m satpu.bin.import_model --torch-checkpoint final.pt --tag <tag>
+# (final.pt from reference_release_url(tag)) and the file lands under the
+# same name.
+_REF_TAGS = (
+    # anonymization pipelines (hubconf.py:70-87)
+    "hifigan_bn_tdnnf_wav2vec2_vq_48_v1",      # VPC-B5 flagship
+    "hifigan_bn_tdnnf_wav2vec2_100h_aug_v1",
+    "hifigan_bn_tdnnf_600h_aug_v1",
+    "hifigan_bn_tdnnf_600h_vq_48_v1",          # VPC-B6
+    "hifigan_bn_tdnnf_100h_vq_64_v1",
+    "hifigan_bn_tdnnf_100h_vq_256_v1",
+    "hifigan_bn_tdnnf_100h_aug_v1",
+    "hifigan_inception_bn_tdnnf_wav2vec2_train_600_vq_48_v1",  # README.md:149
+    # ASR-BN extractors (hubconf.py:46-66)
+    "bn_tdnnf_wav2vec2_vq_48_v1",
+    "bn_tdnnf_wav2vec2_100h_aug_v1",
+    "bn_tdnnf_600h_aug_v1",
+    "bn_tdnnf_600h_vq_48_v1",
+    "bn_tdnnf_100h_vq_64_v1",
+    "bn_tdnnf_100h_vq_256_v1",
+    "bn_tdnnf_100h_aug_v1",
+)
 MODEL_ZOO: Dict[str, Tuple[str, str]] = {
-    "hifigan_bn_tdnnf_wav2vec2_vq_48_v1": ("", "anon_b5.ckpt"),
-    "hifigan_bn_tdnnf_600h_vq_48_v1": ("", "anon_b6.ckpt"),
-    "asrbn_tdnnf_600h_vq_48_v1": ("", "asrbn_b6.ckpt"),
-    "asv_eval_vox1_ecapa_tdnn": ("", "asv_ecapa.ckpt"),
+    tag: ("", tag + ".ckpt") for tag in _REF_TAGS
 }
+# satpu-native extra: the ASV eval model trained by egs/asv/voxceleb
+MODEL_ZOO["asv_eval_vox1_ecapa_tdnn"] = ("", "asv_eval_vox1_ecapa_tdnn.ckpt")
+
+
+def reference_release_url(tag: str) -> str:
+    """GitHub-release URL of the reference torch ``final.pt`` for a tag
+    (hubconf.py:42-44) — the download half of the import_model recipe; the
+    file is torch format and must go through import_model, not resolve()."""
+    base, _ = _parse_option_args(tag)
+    if base not in MODEL_ZOO or base == "asv_eval_vox1_ecapa_tdnn":
+        raise KeyError(f"no reference release for tag {base!r}")
+    return ("https://github.com/deep-privacy/SA-toolkit/releases/download/"
+            f"{base}/final.pt")
 
 
 def zoo_dir() -> str:

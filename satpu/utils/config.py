@@ -15,12 +15,14 @@ INI semantics:
 from __future__ import annotations
 
 import argparse
+import atexit
 import configparser
 import dataclasses
 import json
 import os
 import re
 import sys
+import threading
 from typing import Any, Dict, Type, TypeVar, Optional
 
 _RE_VAR = re.compile(r"[$][{][:]([a-zA-Z0-9_-]+)[}]")
@@ -169,6 +171,70 @@ def split_dict(d: Dict, n: int):
     ]
 
 
+_NOISE_PATTERNS = (b"cpu_aot_loader.cc",)
+_noise_filter_installed = False
+
+
+def install_stderr_noise_filter() -> None:
+    """Drop known-noise XLA C++ log lines from fd 2.
+
+    The XLA:CPU AOT loader logs a multi-KB machine-feature dump at ERROR
+    severity on EVERY persistent-cache reload, even valid same-config ones
+    (the +prefer-no-gather/scatter "features" are compile-time tuning
+    pseudo-features the host probe never reports — reloads still succeed).
+    Driver artifacts capture stderr tails, and the spam buries real errors
+    (the BENCH_r04 tail was ~95% this). The lines are written by C++ and
+    bypass sys.stderr, so filtering means fd surgery: dup fd 2 to a pipe
+    drained by a daemon thread that forwards everything except the known
+    patterns to the real stderr. An atexit hook restores fd 2 (EOF-ing the
+    pipe so the drainer flushes any tail) before interpreter teardown.
+
+    No-op under pytest (it owns fd 2 for capture) and with
+    SATPU_NO_STDERR_FILTER=1.
+    """
+    global _noise_filter_installed
+    if (_noise_filter_installed or os.environ.get("SATPU_NO_STDERR_FILTER")
+            or "PYTEST_CURRENT_TEST" in os.environ or "pytest" in sys.modules):
+        return
+    _noise_filter_installed = True
+    orig = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def drain():
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(r, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            lines = buf.split(b"\n")
+            buf = lines.pop()
+            for ln in lines:
+                if not any(p in ln for p in _NOISE_PATTERNS):
+                    os.write(orig, ln + b"\n")
+        if buf and not any(p in buf for p in _NOISE_PATTERNS):
+            os.write(orig, buf)
+        os.close(r)
+
+    t = threading.Thread(target=drain, daemon=True, name="satpu-stderr-filter")
+    t.start()
+
+    def _restore():
+        try:
+            sys.stderr.flush()
+        except Exception:
+            pass
+        os.dup2(orig, 2)  # closes the pipe write end -> drainer sees EOF
+        t.join(timeout=5.0)
+
+    atexit.register(_restore)
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Configure the JAX runtime for a CLI entry point: virtual-mesh XLA
     flag pins (satpu.parallel.hostmesh) + a persistent host-local
@@ -199,6 +265,7 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
     from ..parallel.hostmesh import ensure_cpu_mesh_flags
 
     ensure_cpu_mesh_flags()  # must precede the fingerprint + backend init
+    install_stderr_noise_filter()  # driver tails must surface real errors
     path = path or os.environ.get(
         "SATPU_JAX_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "satpu_jax"))
