@@ -1092,12 +1092,60 @@ def yaapt_single(x: jnp.ndarray, p: Dict[str, float]) -> jnp.ndarray:
     return final_pitch
 
 
+def yaapt_batch(x: jnp.ndarray, p: Dict[str, float]) -> jnp.ndarray:
+    """[B, T] -> [B, n_frames]; same math as vmap(yaapt_single) but with the
+    two independent same-shape passes merged into double-width calls:
+    bandpass(x) ++ bandpass(x^2) as one [2B, T] matmul set, and the two
+    time_track passes (signal / nonlinear) as ONE [2B]-vmapped call, halving
+    the scan-step count of the n_frames-sequential DPs.
+    Measured (v5e, B=128 x 10 s, chained hard-sync, 2026-08-20): 69.9 ms vs
+    68.8 ms unmerged — NEUTRAL; the [128]-wide scan steps were already
+    bandwidth-dense, so [256]-wide steps cost proportionally. Kept for the
+    smaller program count; outputs are bit-identical (the merge only
+    re-groups vmap/batch axes). A DEFAULT-precision arm of the same A/B
+    (bf16 single-pass MXU) measured 51.5 ms but corrupted the track (20.7%
+    of frames differ, 0.96% voicing flips, voiced rel err p99 0.87 — octave
+    flips), so MXU_PRECISION stays HIGH."""
+    B = x.shape[0]
+    fs = p["sr"]
+    to_pad = int(p["frame_length"] / 1000 * int(fs)) // 2
+    x = jnp.pad(x, ((0, 0), (to_pad, to_pad)))
+    size = x.shape[-1]
+
+    both = jnp.concatenate([x, x**2], axis=0)  # [2B, T]
+    filt = bandpass(both, fs, p["bp_low"], p["bp_high"])
+    signal_f, nonlin_f = filt[:B], filt[B:]
+
+    nfft = int(p["fft_length"])
+    frame_size = int(math.floor(p["frame_length"] * fs / 1000))
+    frame_jump = int(math.floor(p["frame_space"] * fs / 1000))
+
+    energy, vuv, n_frames = jax.vmap(
+        lambda s: nlfer(s, frame_size, frame_jump, nfft, p),
+        out_axes=(0, 0, None))(signal_f)
+    spec_pitch, pitch_std = jax.vmap(
+        lambda nl, e, v: spec_track(nl, e, v, n_frames, frame_size,
+                                    frame_jump, nfft, p))(nonlin_f, energy, vuv)
+
+    tile = lambda a: jnp.concatenate([a, a], axis=0)
+    tp, tm = jax.vmap(
+        lambda f, sp, ps, e, v: time_track(f, sp, ps, e, v, n_frames,
+                                           frame_jump, size, p))(
+        filt, tile(spec_pitch), tile(pitch_std), tile(energy), tile(vuv))
+    tp1, tm1, tp2, tm2 = tp[:B], tm[:B], tp[B:], tm[B:]
+
+    ref_pitch, ref_merit = jax.vmap(
+        lambda *a: refine(*a, p))(tp1, tm1, tp2, tm2, spec_pitch, energy, vuv)
+    return jax.vmap(lambda rp, rm, e: dynamic_final(rp, rm, e, p))(
+        ref_pitch, ref_merit, energy)
+
+
 @functools.partial(jax.jit, static_argnames=("opts_tuple",))
 def _yaapt_jit(x: jnp.ndarray, opts_tuple) -> jnp.ndarray:
     p = dict(opts_tuple)
     if x.ndim == 1:
-        return yaapt_single(x, p)
-    return jax.vmap(lambda w: yaapt_single(w, p))(x)
+        return yaapt_batch(x[None], p)[0]
+    return yaapt_batch(x, p)
 
 
 def yaapt(x, opts: Optional[Dict[str, float]] = None) -> jnp.ndarray:
