@@ -86,15 +86,10 @@ def serving_option_args(compute_dtype: str = "bfloat16") -> Dict[str, Any]:
     """Build-param deltas EVERY inference entry point applies on top of a
     checkpoint's stored params, so the benchmark measures the shipped
     configuration and vice versa: bf16 compute for generator/TDNNF matmuls
-    (~1.5x on v5e, waveform rel err ~2e-3) plus the serving-only fused-MRF
-    flag (ops/pallas_mrf.serving_fused_mrf_default — False since the kernel
-    lost its 2026-08-20 A/B). bench.py and bin/anonymize both route through
-    here; tests/test_serving_config.py asserts they build identical
-    AnonymizerConfigs for the flagship."""
-    from .ops.pallas_mrf import serving_fused_mrf_default
-
-    return {"compute_dtype": compute_dtype,
-            "fused_mrf": serving_fused_mrf_default()}
+    (~1.5x on v5e, waveform rel err ~2e-3). bench.py and bin/anonymize both
+    route through here; tests/test_serving_config.py asserts they build
+    identical AnonymizerConfigs for the flagship."""
+    return {"compute_dtype": compute_dtype}
 
 
 def build_model(model_id: str, **build_params):

@@ -64,9 +64,6 @@ class AnonymizerConfig:
     # "float32" | "bfloat16": serving compute dtype for generator convs +
     # TDNNF matmuls (params, YAAPT and normalizations stay f32)
     compute_dtype: str = "float32"
-    # serving-only fused Pallas MRF stages (see CoreHifiGanConfig.fused_mrf);
-    # FORWARD-ONLY — training keeps this False
-    fused_mrf: bool = False
 
     def hifigan_config(self) -> CoreHifiGanConfig:
         return CoreHifiGanConfig(
@@ -75,7 +72,6 @@ class AnonymizerConfig:
             upsample_kernel_sizes=self.upsample_kernel_sizes,
             upsample_initial_channel=self.upsample_initial_channel,
             compute_dtype=self.compute_dtype,
-            fused_mrf=self.fused_mrf,
         )
 
 

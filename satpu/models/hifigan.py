@@ -41,9 +41,9 @@ def _weight_norm(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 class WNConv1d(nn.Module):
     """Weight-normed Conv1d, torch param layout [out, in, k]; input [B, T, C].
 
-    setup-based (not compact) so the fused-MRF serving path can read the
-    materialized weights without convolving (``materialized()``); param
-    names/shapes are identical either way."""
+    setup-based (not compact) so callers can read the materialized weights
+    without convolving (``materialized()``); param names/shapes are
+    identical either way."""
 
     in_channels: int
     out_channels: int
@@ -177,8 +177,16 @@ class ResBlock1(nn.Module):
     """MRF residual block, 3 dilated + 3 plain convs (hifigan/nn.py:93-187).
 
     setup-based: the list attributes auto-name the convs ``convs1_{i}`` /
-    ``convs2_{i}`` exactly as before, and ``gather_weights()`` exposes the
-    materialized stacked weights for the fused Pallas MRF serving path."""
+    ``convs2_{i}``.
+
+    NOTE (perf history): a fused Pallas kernel that computed a whole MRF
+    group per VMEM block (input fetched once, 126 weight taps resident)
+    was built in round 4 and DELETED in round 5 after a hard-synced A/B on
+    a v5e (2026-08-20, both arms cold, flagship pipeline B=128 x 10 s)
+    measured it 2-4x SLOWER than this XLA module path (1067 vs ~4560
+    a-s/s; batch-insensitive — its grid serialized). XLA's loop fusion
+    over the 18 convs is the shipped form; see also the rejected im2row /
+    block-Toeplitz notes in WNConv1d."""
 
     channels: int
     kernel_size: int = 3
@@ -205,20 +213,6 @@ class ResBlock1(nn.Module):
             xt = c2(xt)
             x = xt + x
         return x
-
-    def gather_weights(self):
-        """(W1 [units, k, C, C], B1 [units, C], W2, B2) — W tap-major
-        ([k][in][out]) for satpu.ops.pallas_mrf.mrf_stage."""
-        def stack(convs):
-            ws, bs = [], []
-            for c in convs:
-                w, b = c.materialized()
-                ws.append(jnp.transpose(w, (2, 1, 0)))
-                bs.append(b)
-            return jnp.stack(ws), jnp.stack(bs)
-        w1, b1 = stack(self.convs1)
-        w2, b2 = stack(self.convs2)
-        return w1, b1, w2, b2
 
 
 class ResBlock2(nn.Module):
@@ -255,11 +249,6 @@ class CoreHifiGanConfig:
     # bf16_min_channels > 0 only when re-measuring on new hardware.
     compute_dtype: str = "float32"
     bf16_min_channels: int = 0
-    # serving-only: run each MRF resblock group as a fused Pallas kernel
-    # (satpu.ops.pallas_mrf) instead of 18 separate XLA convs per stage.
-    # FORWARD-ONLY (no VJP) — training paths must leave this False. Enabled
-    # by the anonymize pipeline / bench on TPU (opt out: SATPU_PALLAS_MRF=0).
-    fused_mrf: bool = False
 
 
 class CoreHifiGan(nn.Module):
@@ -291,19 +280,10 @@ class CoreHifiGan(nn.Module):
                              name=f"resblocks_{i * num_kernels + j}")
                    for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                                     c.resblock_dilation_sizes))]
-            if c.fused_mrf and dt is not None:
-                # fused Pallas MRF stage (serving only, forward-only)
-                from ..ops.pallas_mrf import mrf_stage
-
-                weights = tuple(rb.gather_weights() for rb in rbs)
-                x = mrf_stage(x.astype(dt), weights,
-                              c.resblock_kernel_sizes,
-                              c.resblock_dilation_sizes)
-            else:
-                xs = jnp.zeros_like(x)
-                for rb in rbs:
-                    xs = xs + rb(x)
-                x = xs / num_kernels
+            xs = jnp.zeros_like(x)
+            for rb in rbs:
+                xs = xs + rb(x)
+            x = xs / num_kernels
         x = nn.leaky_relu(x)  # default slope 0.01 (archi.py:87 F.leaky_relu)
         # reflection pad (1, 0) on time (archi.py:75)
         x = jnp.concatenate([x[:, 1:2, :], x], axis=1)

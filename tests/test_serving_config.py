@@ -9,14 +9,11 @@ a flagship checkpoint.
 import os
 import sys
 
-import pytest
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def test_bench_config_equals_pipeline_config(tmp_path, monkeypatch):
     monkeypatch.delenv("BENCH_DTYPE", raising=False)
-    monkeypatch.delenv("SATPU_PALLAS_MRF", raising=False)
     import bench
     from satpu import infer_helper
 
@@ -34,20 +31,3 @@ def test_bench_config_equals_pipeline_config(tmp_path, monkeypatch):
     model, _, _ = infer_helper.load_model(
         ckpt, option_args=infer_helper.serving_option_args("bfloat16"))
     assert model.cfg == want
-
-
-def test_serving_option_args_rejects_bad_mrf_flag(monkeypatch):
-    monkeypatch.setenv("SATPU_PALLAS_MRF", "yes")
-    from satpu import infer_helper
-
-    with pytest.raises(ValueError):
-        infer_helper.serving_option_args()
-
-
-def test_fused_mrf_default_off(monkeypatch):
-    """The kernel lost its 2026-08-20 A/B (4560 XLA vs 1067 Pallas a-s/s
-    @ B=128); it must stay opt-in until a committed A/B shows >=1.1x."""
-    monkeypatch.delenv("SATPU_PALLAS_MRF", raising=False)
-    from satpu.ops.pallas_mrf import serving_fused_mrf_default
-
-    assert serving_fused_mrf_default() is False
