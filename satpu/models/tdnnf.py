@@ -108,8 +108,18 @@ class NaturalAffineTransform(nn.Module):
     compute_dtype: str = "float32"  # "bfloat16" = MXU bf16 matmul, f32 out
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        feat_dim = x.shape[-1]
+    def __call__(self, x: jnp.ndarray,
+                 splice: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+        """``splice=(context_len, stride)`` evaluates the layer on the
+        context-spliced input WITHOUT materializing it: the [out, c*D] weight
+        is reshaped into a width-c conv kernel and the splice+matmul runs as
+        one VALID convolution over the raw [B, T, D] frames (identical
+        arithmetic to ``splice_frames`` + matmul; XLA's conv backward then
+        avoids the [B, T, c*D] unfolded-gradient materialization too — the
+        two splice fusions were ~1.2 ms/layer of the B=64 chain step).
+        Only valid on the plain-matmul path: the NG-SGD form needs the
+        spliced rows themselves for its input-side Fisher statistics."""
+        feat_dim = x.shape[-1] if splice is None else x.shape[-1] * splice[0]
         scale = 1.0 / math.sqrt(feat_dim * self.out_dim)
         weight = self.param(
             "weight", lambda key, shape: jax.random.normal(key, shape) * scale,
@@ -117,7 +127,7 @@ class NaturalAffineTransform(nn.Module):
         )
         # engage NG only when the ng_state collection is live (training);
         # inference on an NG-trained checkpoint falls back to a plain matmul
-        if (self.natural_gradient and self.use_bias
+        if (self.natural_gradient and self.use_bias and splice is None
                 and (self.is_initializing() or self.has_variable("ng_state", "in"))):
             from ..chain.ngsgd import NG_HYPER, nat_affine, ng_init_arrays
 
@@ -130,7 +140,24 @@ class NaturalAffineTransform(nn.Module):
                              in_st.value, out_st.value,
                              hyper=NG_HYPER + (self.compute_dtype,))
             return y2d.reshape(*x.shape[:-1], self.out_dim)
-        if self.compute_dtype == "bfloat16":
+        if splice is not None:
+            c, s = splice
+            # weight columns are tap-major ([0:D] = tap 0 ...), matching the
+            # splice_frames concat order
+            kernel = jnp.transpose(
+                weight.reshape(self.out_dim, c, x.shape[-1]), (1, 2, 0))
+            if self.compute_dtype == "bfloat16":
+                x = x.astype(jnp.bfloat16)
+                kernel = kernel.astype(jnp.bfloat16)
+            elif x.dtype != kernel.dtype:  # upstream autocast handed bf16 in
+                kernel = kernel.astype(x.dtype)
+            # no preferred_element_type: the conv transpose (wgrad) rule
+            # rejects its mixed-dtype cotangent; accumulate at the input
+            # dtype (MXU still sums f32 internally) and upcast the result
+            y = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(s,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC")).astype(jnp.float32)
+        elif self.compute_dtype == "bfloat16":
             y = jnp.einsum("...i,oi->...o", x.astype(jnp.bfloat16),
                            weight.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
@@ -153,11 +180,12 @@ class OrthonormalLinear(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 splice: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
         return NaturalAffineTransform(self.out_dim, self.use_bias,
                                       natural_gradient=self.natural_gradient,
                                       compute_dtype=self.compute_dtype,
-                                      name="inner_nat")(x)
+                                      name="inner_nat")(x, splice=splice)
 
 
 def constrain_orthonormal(M: jnp.ndarray, scale: float, update_speed: float = 0.125) -> jnp.ndarray:
@@ -272,8 +300,17 @@ class TDNNF(nn.Module):
     def __call__(self, x: jnp.ndarray, return_bottleneck: bool = False,
                  train: bool = False):
         inp = x
-        spliced = splice_frames(x, self.context_len, self.subsampling_factor)
-        h = self.linearB(spliced)
+        s = self.subsampling_factor
+        if not self.natural_gradient and float(s).is_integer():
+            # splice-free path: the NG-off affine consumes raw frames through
+            # a conv (see NaturalAffineTransform.__call__ splice docs)
+            if self.context_len > 1:
+                h = self.linearB(x, splice=(self.context_len, int(s)))
+            else:
+                h = self.linearB(x[:, :: int(s)] if int(s) > 1 else x)
+        else:
+            spliced = splice_frames(x, self.context_len, s)
+            h = self.linearB(spliced)
         if self.bottleneck_func is not None:
             h = self.bottleneck_func(h, train=train)
         if return_bottleneck:
