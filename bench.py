@@ -8,12 +8,13 @@ default JAX device (one TPU chip under the driver).
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Measurement notes (device traces on a v5e chip):
-- at B=128 x 10 s the split is get_f0 ~69 ms + convert ~215 ms (BN 35 +
-  generator 181; generator runs at ~62% of bf16 peak) after the round-2
+- at B=128 x 10 s the split is get_f0 ~70 ms + convert ~201 ms (BN 15.8 +
+  generator 188; generator runs at ~61% of bf16 peak) after the round-2
   YAAPT rewrites (banded-DFT NCCF correlations, accumulated-block bandpass,
-  reduce_window peaks) and the round-3 one-hot gather/scatter elimination
+  reduce_window peaks), the round-3 one-hot gather/scatter elimination
   (Viterbi backtrace / peaks top-k / SHC deinterleave as one-hot matmuls),
-  bf16 inter-layer TDNNF activations and the fused fbank frame matrices;
+  bf16 inter-layer TDNNF activations, the fused fbank frame matrices, and
+  the round-5 conv-splice TDNNF (BN 35 -> 15.8 ms);
   the bf16 conv policy (compute_dtype="bfloat16", waveform rel err ~2e-3)
   is on by default;
 - F0 and convert stay TWO dispatches: fusing YAAPT's DP scans into the conv

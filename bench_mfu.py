@@ -9,11 +9,11 @@ README.md ("recorded"), or are re-measured on the current device with
 ``block_until_ready`` can return early).
 
 Workloads & shapes (matching README's numbers):
-- serving  : convert+f0, B=128 x 10 s, bf16 policy          (recorded 4502.6 a-s/s)
+- serving  : convert+f0, B=128 x 10 s, bf16 policy          (recorded 4849.6 a-s/s)
 - chain    : LF-MMI train step, B=16 x 3 s, 3200 pdfs, destination-factored
-             1601-state chain-topology den graph, Adam      (recorded 15.2 ms)
+             1601-state chain-topology den graph, Adam      (recorded 14.13 ms)
 - gan      : fused D+G step, B=32 x 1.04 s segments         (recorded 395 ms)
-- gan_tpu  : shipped hifigan_tpu.ini recipe, B=128 bf16     (recorded 521.4 ms)
+- gan_tpu  : shipped hifigan_tpu.ini recipe, B=128 bf16     (recorded 555.9 ms)
 - asv      : ECAPA-512 ArcMargin step, B=128 x 3 s          (recorded 33.6 ms f32)
 
 v5e peak: 197 TFLOP/s bf16, ~98.5 TFLOP/s fp32 (per chip). cost_analysis
@@ -34,12 +34,16 @@ import numpy as np
 PEAK_BF16 = 197e12
 PEAK_F32 = 98.5e12
 
-RECORDED = {  # hard-synced v5e measurements (README.md)
-    "serving": {"audio_sec_per_sec": 4502.6},
-    "chain": {"sec_per_step": 0.0152},
+RECORDED = {  # hard-synced v5e measurements (README.md), refreshed 2026-08-21
+    # bench.py after the round-5 conv-splice TDNNF (BN 35 -> 15.8 ms)
+    "serving": {"audio_sec_per_sec": 4849.61},
+    # f32, Adam, conv-splice TDNNF (was 15.2 ms; B=64 measures 39.35 ms f32
+    # / 36.97 ms under the bf16 policy)
+    "chain": {"sec_per_step": 0.01413},
     "gan": {"sec_per_step": 0.395},
-    # hifigan_tpu.ini recipe: B=128, bf16 policy (521.4 ms/step hard-synced)
-    "gan_tpu": {"sec_per_step": 0.5214},
+    # hifigan_tpu.ini recipe: B=128, bf16 policy, donated steady-state
+    # (each step consumes the previous state buffers, the trainer's form)
+    "gan_tpu": {"sec_per_step": 0.5559},
     # f32 33.6 ms after the STFT-as-DFT-matmul frontend rewrite; the bf16
     # autocast policy (train_asv --compute-dtype bfloat16) measures 25.0 ms
     # at the same shape
